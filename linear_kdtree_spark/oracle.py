@@ -1,0 +1,195 @@
+"""Serial numpy oracle for the canonical linear kd-tree semantics.
+
+This is the ground truth the distributed build is tested against
+(SURVEY.md §5.2). It implements the *canonical deterministic* semantics
+defined in SURVEY.md §4.4 — heap node ids, exact split values, stable
+assignment — which reproduce the reference's geometry exactly whenever the
+reference's systematic sample stride is 1 (n ≤ 100 per node, reference
+nocuda.cpp:27-36), while removing its three nondeterminism sources
+(allocation-order node layout, partition-order-dependent samples, wall-clock
+seeding; reference fixlentree.hh:42,53 / nocuda.cpp:30-34 / main.cpp:447-451).
+
+Build recursion mirrors reference nocuda.cpp:70-138:
+  root splits on x, axis alternates by depth (nocuda.cpp:102-107), a node
+  splits iff it has ≥2 points, depth < max_depth (nocuda.cpp:75,113) and the
+  split is non-degenerate (neither side empty — nocuda.cpp:97-100).
+
+Code semantics mirror reference lkt.cpp:140-157: bit = 1 ⇔ went left
+(point.axis < split.value), LSB-first along the root-to-leaf path, unused
+high bits zero.  ``sort_key`` is the monotone transform (bit = 0 ⇔ left,
+MSB-first, left-padded to ``max_depth`` bits) whose ascending order equals
+the reference's physical kd array order (SURVEY.md §1.3, FIXTURES.md F3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+MAX_DEPTH = 32  # reference nocuda.cpp:113: sizeof(mortoncode_t) * CHAR_BIT
+
+
+@dataclass
+class OracleSplit:
+    node_id: int  # heap position: root 0, children 2i+1 / 2i+2 (reference's
+    # unused-but-intended heap helpers, nocuda.cpp:57-59)
+    depth: int
+    axis: int  # 0 = x, 1 = y
+    value: float
+    n_left: int
+    n_right: int
+    left_child: int = -1  # heap id of child split node, -1 if child is a leaf
+    right_child: int = -1
+
+
+@dataclass
+class OracleResult:
+    splits: dict[int, OracleSplit] = field(default_factory=dict)
+    node: np.ndarray = None  # final (leaf) heap node id per point
+    path_len: np.ndarray = None
+    code: np.ndarray = None  # reference-faithful tree-path code (uint32 range)
+    sort_key: np.ndarray = None  # monotone transform, kd physical order
+    max_depth: int = MAX_DEPTH
+
+    def kd_order(self) -> np.ndarray:
+        """Indices that sort points into reference physical kd order
+        (ties within a leaf broken by original index = key order)."""
+        return np.lexsort((np.arange(len(self.sort_key)), self.sort_key))
+
+
+def split_value(values: np.ndarray, strategy: str) -> float:
+    """Canonical split value for one node.
+
+    ``mean``   — exact mean in float64 (the deterministic superset of the
+                 reference's systematic sample, nocuda.cpp:27-48).
+    ``median`` — discrete upper median: sorted[n // 2], an actual data value
+                 (bit-exact across engines; the distributed build's
+                 window-based exact-median computes the same element).
+    """
+    if strategy == "mean":
+        return float(np.mean(values.astype(np.float64)))
+    if strategy == "median":
+        return float(np.sort(values)[len(values) // 2])
+    raise ValueError(f"unknown split strategy: {strategy}")
+
+
+def build_oracle(
+    x: np.ndarray,
+    y: np.ndarray,
+    max_depth: int = MAX_DEPTH,
+    strategy: str = "mean",
+) -> OracleResult:
+    """Level-synchronous serial build over float32 coordinate arrays."""
+    n = len(x)
+    x = np.asarray(x, dtype=np.float32)
+    y = np.asarray(y, dtype=np.float32)
+    node = np.zeros(n, dtype=np.int64)
+    path_len = np.zeros(n, dtype=np.int64)
+    code = np.zeros(n, dtype=np.int64)
+    sk = np.zeros(n, dtype=np.int64)
+    stopped = np.zeros(n, dtype=bool)
+    splits: dict[int, OracleSplit] = {}
+
+    for depth in range(max_depth):
+        axis_vals = x if depth % 2 == 0 else y
+        active = ~stopped
+        if not active.any():
+            break
+        for nid in np.unique(node[active]):
+            mask = active & (node == nid)
+            vals = axis_vals[mask]
+            if len(vals) < 2:
+                stopped[mask] = True
+                continue
+            sv = split_value(vals, strategy)
+            left = axis_vals[mask] < sv
+            n_left = int(left.sum())
+            if n_left == 0 or n_left == len(vals):  # degenerate — one side
+                stopped[mask] = True  # empty (reference nocuda.cpp:97-100)
+                continue
+            splits[int(nid)] = OracleSplit(
+                node_id=int(nid),
+                depth=depth,
+                axis=depth % 2,
+                value=sv,
+                n_left=n_left,
+                n_right=len(vals) - n_left,
+            )
+            idx = np.flatnonzero(mask)
+            went_left = np.zeros(n, dtype=bool)
+            went_left[idx[left]] = True
+            sub = idx
+            code[sub] |= went_left[sub].astype(np.int64) << depth
+            sk[sub] = sk[sub] * 2 + (~went_left[sub]).astype(np.int64)
+            node[sub] = 2 * node[sub] + 1 + (~went_left[sub]).astype(np.int64)
+            path_len[sub] += 1
+
+    for nid, s in splits.items():
+        if 2 * nid + 1 in splits:
+            s.left_child = 2 * nid + 1
+        if 2 * nid + 2 in splits:
+            s.right_child = 2 * nid + 2
+
+    sort_key = sk << (max_depth - path_len)
+    return OracleResult(
+        splits=splits,
+        node=node,
+        path_len=path_len,
+        code=code,
+        sort_key=sort_key,
+        max_depth=max_depth,
+    )
+
+
+def codes_from_tree(
+    x: np.ndarray, y: np.ndarray, splits: dict[int, OracleSplit]
+) -> np.ndarray:
+    """Reference-faithful per-point code computation from a built tree —
+    the serial analogue of lkt_create_mortoncodes_sisd (lkt.cpp:140-157):
+    walk from the root, at each visited split set bit ``depth`` to
+    ``1`` iff the point goes left, follow the child link, stop when the
+    child has no split node."""
+    n = len(x)
+    code = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        j = 0
+        depth = 0
+        while j in splits:
+            s = splits[j]
+            v = float(x[i] if s.axis == 0 else y[i])
+            left = v < s.value
+            code[i] |= np.int64(left) << depth
+            j = 2 * j + 1 if left else 2 * j + 2
+            depth += 1
+        # walk off the tree — matches tree_end sentinel (fixlentree.hh:23)
+    return code
+
+
+def brute_knn(
+    px: np.ndarray,
+    py: np.ndarray,
+    keys: np.ndarray,
+    qx: float,
+    qy: float,
+    k: int,
+) -> list[tuple[int, float]]:
+    """Brute-force exact kNN oracle; ties broken by ascending key."""
+    d2 = (px.astype(np.float64) - qx) ** 2 + (py.astype(np.float64) - qy) ** 2
+    order = np.lexsort((keys, d2))[:k]
+    return [(int(keys[i]), float(d2[i])) for i in order]
+
+
+def point_in_polygon(px: float, py: float, vertices: list[tuple[float, float]]) -> bool:
+    """Ray-casting (even-odd) PIP oracle; strictly-inside counts, points on
+    an edge are excluded (documented boundary rule, FIXTURES.md F4)."""
+    inside = False
+    m = len(vertices)
+    for i in range(m):
+        x1, y1 = vertices[i]
+        x2, y2 = vertices[(i + 1) % m]
+        if (y1 > py) != (y2 > py):
+            xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+            if px < xint:
+                inside = not inside
+    return inside
