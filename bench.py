@@ -1,0 +1,152 @@
+"""Headline benchmark: lkt build + query throughput on the synthetic
+web-style skewed point set derived from $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1 → 600 k points from lineitem rows).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "points": N,
+   "build_knn_pip_points_per_sec": ...}
+
+Scaling protocol (BASELINE.md): `python bench.py --scaling` runs the same
+suite in two fresh JVMs at local[8] and local[32] and reports throughput at
+both plus efficiency = (T8/T32)/4 — the sandbox proxy for the north_rule's
+N → 4N executor scaling target (≥ 0.8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_suite(sf_dir: str, cpus: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from linear_kdtree_spark.session import get_spark
+    from linear_kdtree_spark.entry import (
+        KNN_K,
+        KNN_QUERIES_SQL,
+        RADIUS,
+        TILE_DEPTH,
+        load_views,
+        points_df,
+        rect_params,
+    )
+    from linear_kdtree_spark.operators.build import lkt_build
+    from linear_kdtree_spark.operators.knn import knn
+    from linear_kdtree_spark.operators.pip import Polygon, point_in_polygons
+    from linear_kdtree_spark.operators.raster import rasterize
+    from linear_kdtree_spark.operators.spatial_join import radius_join
+    from linear_kdtree_spark.operators.dedup import lsh_candidate_pairs
+    from linear_kdtree_spark.operators.similarity import brute_topk_cosine
+
+    spark = get_spark(
+        app_name="lkt_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    pts = points_df(spark, sf_dir).persist()
+    n_points = timed("load_points", lambda: pts.count())
+
+    idx = timed(
+        "build",
+        lambda: _materialized_build(pts, cpus),
+    )
+
+    load_views(spark, sf_dir, ("documents", "embeddings"))
+    queries = spark.sql(KNN_QUERIES_SQL)
+    timed("knn", lambda: knn(idx, queries, KNN_K).count())
+
+    polys = []
+    for nk in range(25):
+        cx, cy, hw, hh = rect_params(nk)
+        polys.append(Polygon(nk, [(cx - hw, cy - hh), (cx + hw, cy - hh),
+                                  (cx + hw, cy + hh), (cx - hw, cy + hh)]))
+    timed("pip", lambda: point_in_polygons(idx, polys, exact="convex").count())
+
+    timed(
+        "tile_raster",
+        lambda: rasterize(pts, TILE_DEPTH).count(),
+    )
+    sub = pts.filter("key % 31 < 2")
+    timed("radius_join", lambda: radius_join(sub, sub, RADIUS, dedup_pairs=True).count())
+
+    docs = spark.table("documents")
+    timed("minhash_lsh", lambda: lsh_candidate_pairs(docs, 8, 4).count())
+    vecs = spark.table("embeddings")
+    qv = vecs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    timed("ann_brute", lambda: brute_topk_cosine(vecs, qv, 3).count())
+
+    total = round(sum(timings.values()) - timings["load_points"], 3)
+    core = timings["build"] + timings["knn"] + timings["pip"]
+    result = {
+        "metric": "lkt build + kNN/PIP query throughput (points/sec)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "points": n_points,
+        "cpus": cpus,
+        "build_knn_pip_points_per_sec": round(n_points * 3 / core, 1),
+    }
+    spark.stop()
+    return result
+
+
+def _materialized_build(pts, cpus: int):
+    from linear_kdtree_spark.operators.build import lkt_build
+
+    idx = lkt_build(
+        pts, max_depth=24, strategy="mean", leaf_size=512, num_partitions=cpus
+    )
+    idx.points = idx.points.persist()
+    idx.points.count()
+    return idx
+
+
+def main(argv=None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+
+    if "--scaling" in argv:
+        results = {}
+        for c in (8, 32):
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(c))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+            )
+            results[c] = json.loads(out.stdout.strip().splitlines()[-1])
+        t8 = results[8]["build_knn_pip_points_per_sec"]
+        t32 = results[32]["build_knn_pip_points_per_sec"]
+        print(json.dumps({
+            "throughput_local8_pps": t8,
+            "throughput_local32_pps": t32,
+            "scaling_efficiency": round((t32 / t8) / 4, 3),
+            "detail": results,
+        }))
+        return 0
+
+    if "--cpus" in argv:
+        cpus = int(argv[argv.index("--cpus") + 1])
+    print(json.dumps(run_suite(sf_dir, cpus)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    raise SystemExit(main())

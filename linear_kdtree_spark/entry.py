@@ -1,0 +1,391 @@
+"""Driver-contract gate queries: every operator exposed as a
+``(spark, sf_dir) → DataFrame`` callable plus an equivalent ANSI-SQL oracle
+string DuckDB can run on the same parquet tables.
+
+Determinism discipline (the driver hash-compares values): every gated query
+derives its inputs from the shared tables via **pure int64 arithmetic and
+IEEE-exact double ops written once as SQL text** (`POINTS_SQL` etc.) that
+both Spark SQL and DuckDB parse identically, and outputs only integers
+(keys, ranks, tiles, node ids, counts) or doubles produced by the identical
+expression in both engines. Aggregated floats (avg/sum over many rows) are
+never output — summation order differs across engines at the last ulp.
+
+The Spark side of each query exercises the real engine operator
+(lkt_build / knn / point_in_polygons / morton tiles / radius_join / ...);
+the DuckDB oracle is an independent brute-force formulation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# ---------------------------------------------------------------------------
+# shared deterministic derivations (identical text run by Spark and DuckDB)
+# ---------------------------------------------------------------------------
+
+# web-mined-style skewed points: 70 % in 24 integer-ish "city" clusters with
+# ±1° jitter, 30 % uniform — from lineitem rows (the largest table: 60 k rows
+# at sf0.01, 600 k at sf0.1) via pure int64 arithmetic; key = unique
+# composite l_orderkey·8 + l_linenumber
+POINTS_SQL = """
+SELECT key,
+  CASE WHEN (key * 2654435761) % 100 < 70 THEN
+    CAST((((key * 2654435761) % 24) * 137) % 340 AS DOUBLE) - 169.5
+      + (CAST((key * 40503 + 12345) % 20001 AS DOUBLE) - 10000.0) / 10000.0
+  ELSE CAST((key * 40503 + 12345) % 3600000 AS DOUBLE) / 10000.0 - 180.0 END AS x,
+  CASE WHEN (key * 2654435761) % 100 < 70 THEN
+    CAST((((key * 2654435761) % 24) * 61) % 160 AS DOUBLE) - 79.5
+      + (CAST((key * 69069 + 1013904223) % 20001 AS DOUBLE) - 10000.0) / 10000.0
+  ELSE CAST((key * 69069 + 1013904223) % 1700000 AS DOUBLE) / 10000.0 - 85.0 END AS y
+FROM (SELECT l_orderkey * 8 + l_linenumber AS key FROM lineitem) base
+""".strip()
+
+KNN_QUERIES_SQL = """
+SELECT doc_id AS query_id,
+  CAST((doc_id * 48271 + 11) % 3400000 AS DOUBLE) / 10000.0 - 170.0 AS qx,
+  CAST((doc_id * 16807 + 7) % 1600000 AS DOUBLE) / 10000.0 - 80.0 AS qy
+FROM documents WHERE doc_id < 40
+""".strip()
+
+KNN_K = 5
+RADIUS = 0.5
+TILE_DEPTH = 8
+RASTER_DEPTH = 6
+BUILD_DEPTH = 4
+
+
+def rect_params(nationkey: int) -> tuple[float, float, float, float]:
+    """Rectangle dim derived from the nation table — mirrored in
+    RECTS_SQL; all values are exact halves/integers in double."""
+    cx = float((nationkey * 97) % 300) - 149.5
+    cy = float((nationkey * 53) % 140) - 69.5
+    hw = float(5 + nationkey % 7)
+    hh = float(4 + nationkey % 5)
+    return cx, cy, hw, hh
+
+
+RECTS_SQL = """
+SELECT n_nationkey AS poly_id,
+  CAST((n_nationkey * 97) % 300 AS DOUBLE) - 149.5 AS cx,
+  CAST((n_nationkey * 53) % 140 AS DOUBLE) - 69.5 AS cy,
+  CAST(5 + (n_nationkey % 7) AS DOUBLE) AS hw,
+  CAST(4 + (n_nationkey % 5) AS DOUBLE) AS hh
+FROM nation
+""".strip()
+
+# augmented pages with deterministic integer-formatted geo mentions
+# (string assembly identical in both dialects: CAST-to-STRING of ints + lpad)
+AUG_PAGES_SQL = """
+SELECT 'https://' || source || '.example/' || CAST(doc_id AS STRING) AS url,
+  text || ' geo:' || CAST((doc_id * 7) % 70 + 10 AS STRING) || '.'
+       || lpad(CAST((doc_id * 31) % 10000 AS STRING), 4, '0')
+       || ',' || CAST((doc_id * 13) % 160 + 10 AS STRING) || '.'
+       || lpad(CAST((doc_id * 17) % 10000 AS STRING), 4, '0')
+       || CASE WHEN doc_id % 3 = 0 THEN
+            ' geo:' || CAST((doc_id * 19) % 70 + 10 AS STRING) || '.'
+            || lpad(CAST((doc_id * 23) % 10000 AS STRING), 4, '0')
+            || ',' || CAST((doc_id * 29) % 160 + 10 AS STRING) || '.'
+            || lpad(CAST((doc_id * 37) % 10000 AS STRING), 4, '0')
+          ELSE '' END AS text
+FROM documents
+""".strip()
+
+GEO_RE = r"geo:(\d+\.\d+),(\d+\.\d+)"
+
+
+def load_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    for t in tables:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(POINTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# gated queries — spatial engine
+# ---------------------------------------------------------------------------
+
+def q_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sanity anchor: the shared point derivation itself."""
+    return points_df(spark, sf_dir)
+
+
+def q_lkt_build_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine build (depth 4, mean splits, double coords) → (key, node)."""
+    from linear_kdtree_spark.operators.build import lkt_build
+
+    idx = lkt_build(
+        points_df(spark, sf_dir),
+        max_depth=BUILD_DEPTH,
+        strategy="mean",
+        coord_type="double",
+    )
+    return idx.points.select("key", "node")
+
+
+_INDEX_CACHE: dict = {}
+
+
+def _gate_index(spark, sf_dir, leaf_size=16, max_depth=16):
+    """Build (once per sf_dir per session) the shared gate index."""
+    from linear_kdtree_spark.operators.build import lkt_build
+
+    cache_key = (id(spark), sf_dir, leaf_size, max_depth)
+    if cache_key in _INDEX_CACHE:
+        return _INDEX_CACHE[cache_key]
+    idx = lkt_build(
+        points_df(spark, sf_dir),
+        max_depth=max_depth,
+        strategy="mean",
+        leaf_size=leaf_size,
+        coord_type="double",
+    )
+    idx.points = idx.points.persist()
+    idx.points.count()
+    _INDEX_CACHE[cache_key] = idx
+    return idx
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN through the index → (query_id, key, rank)."""
+    from linear_kdtree_spark.operators.knn import knn
+
+    idx = _gate_index(spark, sf_dir)
+    load_views(spark, sf_dir, ("documents",))
+    queries = spark.sql(KNN_QUERIES_SQL)
+    return knn(idx, queries, KNN_K).select("query_id", "key", "rank")
+
+
+def q_pip_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-pruned point-in-polygon over nation-derived rectangles
+    (strict-inside, convex half-plane refine) → (poly_id, key)."""
+    from linear_kdtree_spark.operators.pip import Polygon, point_in_polygons
+
+    idx = _gate_index(spark, sf_dir)
+    load_views(spark, sf_dir, ("nation",))
+    polys = []
+    for r in spark.sql("SELECT n_nationkey FROM nation").collect():
+        nk = int(r[0])
+        cx, cy, hw, hh = rect_params(nk)
+        polys.append(
+            Polygon(nk, [(cx - hw, cy - hh), (cx + hw, cy - hh),
+                         (cx + hw, cy + hh), (cx - hw, cy + hh)])
+        )
+    return point_in_polygons(idx, polys, exact="convex")
+
+
+def q_tile_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid Z-order tile counts at depth 8 → (tile, n_points)."""
+    from linear_kdtree_spark.operators.tile import assign_tiles_morton
+
+    pts = points_df(spark, sf_dir)
+    return (
+        assign_tiles_morton(pts, TILE_DEPTH)
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+def q_raster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rasterize at depth 6 + vectorize tile rectangles →
+    (tile, n_points, xmin, ymin, xmax, ymax)."""
+    from linear_kdtree_spark.operators.raster import rasterize, vectorize
+
+    pts = points_df(spark, sf_dir)
+    ras = rasterize(pts, RASTER_DEPTH)
+    return vectorize(ras, RASTER_DEPTH).select(
+        "tile", "n_points", "xmin", "ymin", "xmax", "ymax"
+    )
+
+
+def q_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self radius join (grid-cell equi-join + exact refine) →
+    (a_key, b_key), a < b. Deterministic ~6 % subsample keeps the DuckDB
+    brute-force oracle (quadratic) tractable."""
+    from linear_kdtree_spark.operators.spatial_join import radius_join
+
+    pts = points_df(spark, sf_dir).filter("key % 31 < 2")
+    return radius_join(pts, pts, RADIUS, dedup_pairs=True)
+
+
+def q_extract_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex point extraction from deterministic geo-augmented pages →
+    (url, ordinal, x, y)."""
+    from linear_kdtree_spark.sources.points import extract_points
+
+    load_views(spark, sf_dir, ("documents",))
+    aug = spark.sql(AUG_PAGES_SQL)
+    out = extract_points(aug, coord_type="double")
+    return out.select("url", F.col("ordinal").cast("long").alias("ordinal"), "x", "y")
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL builders
+# ---------------------------------------------------------------------------
+
+def _points_cte() -> str:
+    return f"pts AS ({POINTS_SQL})"
+
+
+def build_nodes_oracle_sql(depth: int = BUILD_DEPTH) -> str:
+    sql = f"WITH {_points_cte()},\nlvl0 AS (SELECT key, x, y, CAST(0 AS BIGINT) AS node FROM pts)"
+    for d in range(depth):
+        ax = "x" if d % 2 == 0 else "y"
+        lo = (1 << d) - 1
+        sql += f""",
+s{d} AS (SELECT node AS snode, AVG({ax}) AS sv, COUNT(*) AS c,
+                MIN({ax}) AS mn, MAX({ax}) AS mx
+         FROM lvl{d} WHERE node >= {lo} GROUP BY node),
+lvl{d + 1} AS (SELECT p.key, p.x, p.y,
+  CASE WHEN s.snode IS NOT NULL AND s.c >= 2 AND s.sv > s.mn AND s.sv <= s.mx
+       THEN CASE WHEN p.{ax} < s.sv THEN p.node * 2 + 1 ELSE p.node * 2 + 2 END
+       ELSE p.node END AS node
+  FROM lvl{d} p LEFT JOIN s{d} s ON p.node = s.snode)"""
+    sql += f"\nSELECT key, node FROM lvl{depth}"
+    return sql
+
+
+def knn_oracle_sql(k: int = KNN_K) -> str:
+    return f"""
+WITH {_points_cte()},
+qs AS ({KNN_QUERIES_SQL}),
+d AS (SELECT q.query_id, p.key,
+        (p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy) AS d2
+      FROM qs q CROSS JOIN pts p),
+r AS (SELECT query_id, key,
+        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, key) AS INTEGER) AS rank
+      FROM d)
+SELECT query_id, key, rank FROM r WHERE rank <= {k}
+""".strip()
+
+
+def pip_rect_oracle_sql() -> str:
+    return f"""
+WITH {_points_cte()},
+rects AS ({RECTS_SQL})
+SELECT r.poly_id, p.key
+FROM rects r CROSS JOIN pts p
+WHERE p.x > r.cx - r.hw AND p.x < r.cx + r.hw
+  AND p.y > r.cy - r.hh AND p.y < r.cy + r.hh
+""".strip()
+
+
+def tile_oracle_sql(depth: int = TILE_DEPTH) -> str:
+    from linear_kdtree_spark.functions.morton import morton_tile_sql
+
+    tile = morton_tile_sql("x", "y", depth)
+    return (
+        f"WITH {_points_cte()}\n"
+        f"SELECT {tile} AS tile, COUNT(*) AS n_points FROM pts GROUP BY 1"
+    )
+
+
+def raster_oracle_sql(depth: int = RASTER_DEPTH) -> str:
+    from linear_kdtree_spark.functions.morton import WORLD, morton_tile_sql
+
+    xmin_b, ymin_b, xmax_b, ymax_b = WORLD
+    wx = (xmax_b - xmin_b) / (1 << depth)
+    wy = (ymax_b - ymin_b) / (1 << depth)
+    tile = morton_tile_sql("x", "y", depth)
+    ix_terms = " + ".join(
+        f"(CAST(FLOOR(tile / {float(1 << (2 * i))!r}) AS BIGINT) % 2) * {1 << i}"
+        for i in range(depth)
+    )
+    iy_terms = " + ".join(
+        f"(CAST(FLOOR(tile / {float(1 << (2 * i + 1))!r}) AS BIGINT) % 2) * {1 << i}"
+        for i in range(depth)
+    )
+    return f"""
+WITH {_points_cte()},
+ras AS (SELECT {tile} AS tile, COUNT(*) AS n_points FROM pts GROUP BY 1),
+cells AS (SELECT tile, n_points, ({ix_terms}) AS ix, ({iy_terms}) AS iy FROM ras)
+SELECT tile, n_points,
+  {xmin_b!r} + ix * {wx!r} AS xmin,
+  {ymin_b!r} + iy * {wy!r} AS ymin,
+  {xmin_b!r} + ix * {wx!r} + {wx!r} AS xmax,
+  {ymin_b!r} + iy * {wy!r} + {wy!r} AS ymax
+FROM cells
+""".strip()
+
+
+def radius_oracle_sql(radius: float = RADIUS) -> str:
+    return f"""
+WITH {_points_cte()},
+sub AS (SELECT * FROM pts WHERE key % 31 < 2)
+SELECT a.key AS a_key, b.key AS b_key
+FROM sub a CROSS JOIN sub b
+WHERE a.key < b.key
+  AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) < {radius * radius!r}
+""".strip()
+
+
+def extract_geo_oracle_sql() -> str:
+    # ordinal materialized by unioning fixed match positions (≤ 2 mentions
+    # by construction) — portable across both dialects is not required for
+    # the oracle (DuckDB-only), but positions must match posexplode order
+    return f"""
+WITH aug AS ({AUG_PAGES_SQL}),
+m AS (SELECT url, regexp_extract_all(text, '{GEO_RE}', 0) AS ms FROM aug)
+SELECT url, CAST(0 AS BIGINT) AS ordinal,
+  CAST(regexp_extract(ms[1], '{GEO_RE}', 2) AS DOUBLE) AS x,
+  CAST(regexp_extract(ms[1], '{GEO_RE}', 1) AS DOUBLE) AS y
+FROM m WHERE len(ms) >= 1
+UNION ALL
+SELECT url, CAST(1 AS BIGINT) AS ordinal,
+  CAST(regexp_extract(ms[2], '{GEO_RE}', 2) AS DOUBLE) AS x,
+  CAST(regexp_extract(ms[2], '{GEO_RE}', 1) AS DOUBLE) AS y
+FROM m WHERE len(ms) >= 2
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from linear_kdtree_spark.entry_pipeline import pipeline_queries
+
+    out = {
+        "points_derivation": q_points,
+        "lkt_build_nodes": q_lkt_build_nodes,
+        "knn": q_knn,
+        "pip_rect": q_pip_rect,
+        "tile_morton": q_tile_morton,
+        "raster_density": q_raster_density,
+        "radius_pairs": q_radius_pairs,
+        "extract_geo": q_extract_geo,
+    }
+    out.update(pipeline_queries())
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    from linear_kdtree_spark.entry_pipeline import pipeline_oracles
+
+    out = {
+        "points_derivation": POINTS_SQL,
+        "lkt_build_nodes": build_nodes_oracle_sql(),
+        "knn": knn_oracle_sql(),
+        "pip_rect": pip_rect_oracle_sql(),
+        "tile_morton": tile_oracle_sql(),
+        "raster_density": raster_oracle_sql(),
+        "radius_pairs": radius_oracle_sql(),
+        "extract_geo": extract_geo_oracle_sql(),
+    }
+    out.update(pipeline_oracles())
+    return out
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: skewed web-style points → lkt build → exact kNN batch."""
+    return q_knn(spark, "/root/testdata/sf0.001")

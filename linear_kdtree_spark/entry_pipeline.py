@@ -1,0 +1,384 @@
+"""Gate queries for the training-data-pipeline suite (dedup / text
+analysis / similarity search) over the ``documents`` and ``embeddings``
+tables, with DuckDB oracles.
+
+The Spark side runs the real operators (operators/dedup.py,
+operators/similarity.py, functions/text.py); the oracles are independent
+DuckDB list/lambda formulations of the same deterministic semantics
+(md5-based hashing, order-insensitive set ops, single-division doubles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linear_kdtree_spark.entry import load_views
+from linear_kdtree_spark.functions.text import (
+    BPE_RE,
+    LANG_MARKERS,
+    FP_MOD,
+    bpe_ish_token_count,
+    fingerprint_expr,
+    lang_id,
+    token_count,
+)
+
+# documents augmented with exact duplicates (every 5th doc) so the dedup
+# operators have real work; derivable identically in both engines
+DUP_DOCS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+""".strip()
+
+MINHASH_PERMS = 8
+MINHASH_BANDS = 4
+SIMHASH_BITS = 16
+NGRAM_N = 3
+ANN_K = 3
+ANN_QUERIES = 20
+IVF_CELLS = 8
+IVF_PROBE = 2
+
+TOKENS_DUCK = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
+# shingles run over RAW text tokens (engine shingles() does not lowercase)
+RAW_TOKENS_DUCK = "list_filter(string_split_regex(text, '\\s+'), t -> t != '')"
+SHINGLES_DUCK = f"""
+list_distinct(list_transform(
+  generate_series(1, greatest(len({RAW_TOKENS_DUCK}) - {NGRAM_N - 1}, 0)),
+  i -> {RAW_TOKENS_DUCK}[i] || ' ' || {RAW_TOKENS_DUCK}[i+1] || ' ' || {RAW_TOKENS_DUCK}[i+2]))
+""".strip()
+
+
+def _dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, ("documents",))
+    return spark.sql(DUP_DOCS_SQL)
+
+
+# --------------------------------------------------------------- text stats
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).cast("long").alias("n_tokens"),
+        bpe_ish_token_count(t).cast("long").alias("n_bpe_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+        F.length(F.regexp_replace(t, r"[A-Za-z0-9 ]", "")).cast("long").alias(
+            "n_punct"
+        ),
+    )
+
+
+def text_stats_oracle_sql() -> str:
+    return f"""
+SELECT doc_id,
+  CAST(len({TOKENS_DUCK}) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '{BPE_RE}', 0)) AS BIGINT) AS n_bpe_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
+FROM documents
+""".strip()
+
+
+# ------------------------------------------------------------------ lang id
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    return docs.select(
+        "doc_id", lang_id(F.col("text")).alias("lang_guess"), "lang"
+    )
+
+
+def lang_id_oracle_sql() -> str:
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        scores.append(
+            f"len(list_filter({TOKENS_DUCK}, t -> t IN ({words}))) AS s_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    m = "GREATEST(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = "CASE WHEN " + m + " = 0 THEN 'und' "
+    for lg in langs:
+        case += f"WHEN s_{lg} = {m} THEN '{lg}' "
+    case += "END"
+    return f"""
+WITH scored AS (SELECT doc_id, lang, {", ".join(scores)} FROM documents)
+SELECT doc_id, {case} AS lang_guess, lang FROM scored
+""".strip()
+
+
+# -------------------------------------------------------------- fingerprint
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    return docs.select(
+        "doc_id", fingerprint_expr(F.col("text")).alias("fingerprint")
+    )
+
+
+def fingerprint_oracle_sql() -> str:
+    return f"""
+SELECT doc_id,
+  COALESCE(list_sum(list_transform(
+    generate_series(1, greatest(length(text), 1)),
+    i -> (ascii(substr(text, CAST(i AS INTEGER), 1)) * ((i * 2654435761) % {FP_MOD})) % {FP_MOD}
+  )), 0) % {FP_MOD} AS fingerprint
+FROM documents
+""".strip()
+
+
+# -------------------------------------------------------------- exact dedup
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linear_kdtree_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_dup_docs(spark, sf_dir)).select(
+        "doc_id", "content_hash",
+        F.col("group_size").cast("long").alias("group_size"),
+        "canonical_id", "is_duplicate",
+    )
+
+
+def dedup_exact_oracle_sql() -> str:
+    return f"""
+WITH d AS ({DUP_DOCS_SQL})
+SELECT doc_id, md5(text) AS content_hash,
+  CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS group_size,
+  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+  doc_id != MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+FROM d
+""".strip()
+
+
+# ------------------------------------------------------------ ngram profile
+
+def q_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linear_kdtree_spark.operators.dedup import ngram_profile
+
+    load_views(spark, sf_dir, ("documents",))
+    return ngram_profile(spark.table("documents"), NGRAM_N).select(
+        "doc_id", F.col("n_shingles").cast("long").alias("n_shingles")
+    )
+
+
+def ngram_profile_oracle_sql() -> str:
+    return f"""
+SELECT doc_id, CAST(len({SHINGLES_DUCK}) AS BIGINT) AS n_shingles
+FROM documents
+""".strip()
+
+
+# -------------------------------------------------- consecutive-pair jaccard
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard of each (doc_id, doc_id+1) pair — exercises the
+    shingle/intersect/union machinery with a deterministic pairing."""
+    from linear_kdtree_spark.operators.dedup import jaccard_pairs
+
+    load_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    pairs = docs.select(F.col("doc_id").alias("a_id")).join(
+        docs.select(F.col("doc_id").alias("b_id")),
+        F.col("b_id") == F.col("a_id") + 1,
+    )
+    return jaccard_pairs(docs, pairs, NGRAM_N)
+
+
+def jaccard_pairs_oracle_sql() -> str:
+    return f"""
+WITH sh AS (SELECT doc_id, {SHINGLES_DUCK} AS s FROM documents)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+  CASE WHEN len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x))) > 0
+       THEN CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x))))
+       ELSE 1.0 END AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+""".strip()
+
+
+# -------------------------------------------------------------- minhash LSH
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linear_kdtree_spark.operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(
+        _dup_docs(spark, sf_dir), num_perm=MINHASH_PERMS, bands=MINHASH_BANDS,
+        n=NGRAM_N,
+    )
+
+
+def minhash_lsh_oracle_sql() -> str:
+    rows = MINHASH_PERMS // MINHASH_BANDS
+    sig_cols = ", ".join(
+        f"list_min(list_transform({SHINGLES_DUCK}, s -> md5(s || ':{j}'))) AS sig{j}"
+        for j in range(MINHASH_PERMS)
+    )
+    band_selects = []
+    for b in range(MINHASH_BANDS):
+        parts = " || '|' || ".join(
+            f"COALESCE(sig{b * rows + r}, '')" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sigs"
+        )
+    buckets = " UNION ALL ".join(band_selects)
+    return f"""
+WITH d AS ({DUP_DOCS_SQL}),
+sigs AS (SELECT doc_id, {sig_cols} FROM d),
+buckets AS ({buckets})
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id
+""".strip()
+
+
+# ------------------------------------------------------------------ simhash
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linear_kdtree_spark.operators.dedup import simhash_profile
+
+    load_views(spark, sf_dir, ("documents",))
+    return simhash_profile(spark.table("documents"), SIMHASH_BITS)
+
+
+def simhash_oracle_sql() -> str:
+    toks = f"list_distinct({TOKENS_DUCK})"
+    bit_terms = []
+    for j in range(SIMHASH_BITS):
+        cp = j // 4 + 1
+        dv = 1 << (3 - (j % 4))
+        hv = (
+            f"(ascii(substr(md5(t), {cp}, 1)) - CASE WHEN ascii(substr(md5(t), {cp}, 1)) >= 97 "
+            f"THEN 87 ELSE 48 END)"
+        )
+        vote = f"((CAST(FLOOR({hv} / {float(dv)!r}) AS BIGINT) % 2) * 2 - 1)"
+        tally = f"COALESCE(list_sum(list_transform({toks}, t -> {vote})), 0)"
+        bit_terms.append(f"CASE WHEN {tally} >= 0 THEN {1 << j} ELSE 0 END")
+    return f"""
+SELECT doc_id, CAST({" + ".join(bit_terms)} AS BIGINT) AS simhash
+FROM documents
+""".strip()
+
+
+# ----------------------------------------------------------- similarity/ANN
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, ("embeddings",))
+    return spark.table("embeddings")
+
+
+def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linear_kdtree_spark.operators.similarity import brute_topk_cosine
+
+    vecs = _vectors(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return brute_topk_cosine(vecs, queries, ANN_K)
+
+
+def ann_brute_oracle_sql() -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < {ANN_QUERIES}),
+scored AS (
+  SELECT q.query_id, v.vec_id,
+         list_cosine_similarity(v.embedding, q.qe) AS cos
+  FROM q CROSS JOIN embeddings v WHERE v.vec_id != q.query_id),
+r AS (SELECT query_id, vec_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id)
+             AS INTEGER) AS rank
+      FROM scored)
+SELECT query_id, vec_id, rank FROM r WHERE rank <= {ANN_K}
+""".strip()
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linear_kdtree_spark.operators.similarity import ivf_topk_cosine
+
+    vecs = _vectors(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return ivf_topk_cosine(
+        vecs, queries, ANN_K, n_cells=IVF_CELLS, n_probe=IVF_PROBE
+    )
+
+
+def ann_ivf_oracle_sql(n_total: int | None = None) -> str:
+    # stride must equal the engine's vectors.count() // n_cells; expressed
+    # as a scalar subquery so the oracle adapts to the sf dir
+    stride = f"(SELECT GREATEST(CAST(COUNT(*) / {IVF_CELLS} AS BIGINT), 1) FROM embeddings)"
+    return f"""
+WITH cents AS (
+  SELECT CAST(vec_id / {stride} AS BIGINT) AS cell, embedding AS ce
+  FROM embeddings WHERE vec_id % {stride} = 0
+    AND CAST(vec_id / {stride} AS BIGINT) < {IVF_CELLS}),
+assign0 AS (
+  SELECT v.vec_id, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+            ORDER BY list_cosine_similarity(v.embedding, c.ce) DESC, c.cell) AS rn
+  FROM embeddings v CROSS JOIN cents c),
+assign AS (SELECT vec_id, cell FROM assign0 WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id < {ANN_QUERIES}),
+probes0 AS (
+  SELECT q.query_id, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+            ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.cell) AS rn
+  FROM q CROSS JOIN cents c),
+probes AS (SELECT query_id, cell FROM probes0 WHERE rn <= {IVF_PROBE}),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assign a ON a.cell = p.cell),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         list_cosine_similarity(v.embedding, q.qe) AS cos
+  FROM cand c JOIN embeddings v ON v.vec_id = c.vec_id
+              JOIN q ON q.query_id = c.query_id
+  WHERE c.vec_id != c.query_id),
+r AS (SELECT query_id, vec_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id)
+             AS INTEGER) AS rank
+      FROM scored)
+SELECT query_id, vec_id, rank FROM r WHERE rank <= {ANN_K}
+""".strip()
+
+
+# ------------------------------------------------------------------ surface
+
+def pipeline_queries():
+    return {
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "ngram_profile": q_ngram_profile,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "ann_brute": q_ann_brute,
+        "ann_ivf": q_ann_ivf,
+    }
+
+
+def pipeline_oracles():
+    return {
+        "text_stats": text_stats_oracle_sql(),
+        "lang_id": lang_id_oracle_sql(),
+        "fingerprint": fingerprint_oracle_sql(),
+        "dedup_exact": dedup_exact_oracle_sql(),
+        "ngram_profile": ngram_profile_oracle_sql(),
+        "jaccard_pairs": jaccard_pairs_oracle_sql(),
+        "minhash_lsh": minhash_lsh_oracle_sql(),
+        "simhash": simhash_oracle_sql(),
+        "ann_brute": ann_brute_oracle_sql(),
+        "ann_ivf": ann_ivf_oracle_sql(),
+    }

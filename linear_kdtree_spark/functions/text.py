@@ -1,0 +1,158 @@
+"""Text-analysis functions for the training-data pipeline: tokenization,
+quality scoring, language-ID heuristic, fingerprinting.
+
+Everything here is a pure JVM column expression (split / regexp /
+higher-order array functions) — these run over every document of a web-scale
+corpus, so they must stay inside whole-stage codegen. The only Python is the
+Karp-Rabin rolling-hash UDF, which exists alongside a portable
+position-weighted fingerprint expression.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny stopword marker lists per language for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "los", "que", "es"],
+    "pt": ["o", "de", "que", "os", "em"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (empty strings filtered)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+BPE_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-approximating token count: runs of alphanumerics plus single
+    punctuation marks (RE2-compatible pattern — portable to the DuckDB
+    oracle, unlike lookaround splits)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_RE), 0))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9 ]", "")
+    return F.when(F.length(text) > 0,
+                  F.length(stripped).cast("double") / F.length(text)).otherwise(0.0)
+
+
+def stopword_ratio(text: Column, markers: list[str] | None = None) -> Column:
+    ms = markers or sorted({w for ws in LANG_MARKERS.values() for w in ws})
+    tk = tokens(F.lower(text))
+    hits = F.size(F.filter(tk, lambda t: t.isin(ms)))
+    n = F.size(tk)
+    return F.when(n > 0, hits.cast("double") / n).otherwise(0.0)
+
+
+def quality_score(text: Column) -> Column:
+    """[0, 1] composite: length band + low punctuation + stopword presence —
+    the standard cheap web-text quality gate (length/punct/stopword ratios)."""
+    n_tok = token_count(text)
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(1.0)).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(text) < 0.3, F.lit(1.0)).otherwise(0.0)
+    stop_ok = F.when(stopword_ratio(text) > 0.0, F.lit(1.0)).otherwise(0.0)
+    return (len_ok + punct_ok + stop_ok) / 3.0
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-word hit count per language over the lowercased token set."""
+    tk = tokens(F.lower(text))
+
+    # factory, not `lambda t, ws=words:` — a 2-parameter lambda inside
+    # filter() is treated as (element, index) by PySpark
+    def matcher(words: list[str]):
+        return lambda t: t.isin(words)
+
+    return {
+        lang: F.size(F.filter(tk, matcher(words)))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by marker hits; ties and zero-hit → 'und'.
+    Deterministic tie rule: strictly-greater chain in fixed lang order."""
+    scores = lang_scores(text)
+    langs = sorted(scores)  # de, en, es, fr, pt — fixed order
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in langs:
+        s = scores[lang]
+        cond = s > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best
+
+
+FP_MOD = 1_000_000_007
+FP_WEIGHT = 31
+
+
+def fingerprint_expr(text: Column) -> Column:
+    """Position-weighted document fingerprint: Σ ascii(c_i) · w_i mod p with
+    w_i = (i · 2654435761) mod p — order-sensitive, portable to plain SQL
+    (the gate twin of the Karp-Rabin UDF below). Iterates characters via
+    substr over an index sequence (identical semantics in DuckDB)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text), F.lit(1)))
+    terms = F.transform(
+        idx,
+        lambda i: (
+            F.ascii(text.substr(i, F.lit(1))).cast("long")
+            * F.pmod(i.cast("long") * F.lit(2654435761), F.lit(FP_MOD))
+        ),
+    )
+    return F.pmod(
+        F.aggregate(terms, F.lit(0).cast("long"),
+                    lambda acc, v: F.pmod(acc + v, F.lit(FP_MOD))),
+        F.lit(FP_MOD),
+    )
+
+
+def make_karp_rabin_udf(window: int = 16, base: int = 257, mod: int = (1 << 61) - 1):
+    """True rolling-hash (Karp-Rabin) min-fingerprint over a sliding char
+    window — Arrow-batched numpy, no per-row Python. Returns the minimum
+    window hash per document (a winnowing-style robust fingerprint)."""
+
+    @F.pandas_udf("long")
+    def kr(text: pd.Series) -> pd.Series:
+        out = np.zeros(len(text), dtype=np.int64)
+        bpow = pow(base, window - 1, mod)
+        for i, s in enumerate(text):
+            if s is None or len(s) < window:
+                out[i] = -1
+                continue
+            b = s.encode("utf-8", "ignore")
+            if len(b) < window:
+                out[i] = -1
+                continue
+            h = 0
+            for c in b[:window]:
+                h = (h * base + c) % mod
+            mn = h
+            for j in range(window, len(b)):
+                h = ((h - b[j - window] * bpow) * base + b[j]) % mod
+                if h < mn:
+                    mn = h
+            out[i] = mn
+        return pd.Series(out)
+
+    return kr

@@ -235,7 +235,11 @@ def lkt_build(
                 spark, new_pts, checkpoint_dir, depth, split_rows, lineage, node_counts
             )
         else:
-            pts = new_pts.persist()
+            # lazy localCheckpoint: persists AND truncates the logical plan
+            # (a plain persist leaves d chained joins in the plan → O(d²)
+            # analysis time across the loop); materialized by the next
+            # level's stats action, so still one job per level
+            pts = new_pts.localCheckpoint(eager=False)
         prev.unpersist()
 
     # child counts for split nodes at the deepest level (loop may have

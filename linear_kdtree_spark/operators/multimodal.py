@@ -1,0 +1,135 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed through Arrow-batched ``mapInPandas``
+kernels.
+
+The decode step itself is STUBBED (pillow/ffmpeg/librosa are not in this
+container): `decode_image` raises NotImplementedError unless
+``fake=True``, in which case a deterministic synthetic decode (bytes →
+seeded pixel statistics) stands in so the Spark-side plumbing — schema,
+partitioning, UDF signature, Arrow batch shape — is real and tested
+end-to-end. Swapping in a real codec is a one-function change.
+
+Scale notes: binary payloads dominate row size — the operators project
+metadata-only where possible (column pruning keeps payload bytes out of
+shuffles), and mapInPandas streams batches without materializing a
+partition."""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_META_SCHEMA = (
+    "url string, media_type string, byte_len long, width int, height int, "
+    "channels int"
+)
+
+FEATURE_SCHEMA = IMAGE_META_SCHEMA + ", mean_intensity double, feature array<float>"
+
+
+def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Typed metadata columns from the binary payload — pure expressions
+    (length/prefix sniffing), no decode."""
+    p = F.col(payload_col)
+    magic = F.hex(F.substring(p, 1, 4))
+    media_type = (
+        F.when(magic.startswith("89504E47"), "image/png")
+        .when(magic.startswith("FFD8"), "image/jpeg")
+        .when(magic.startswith("52494646"), "audio/wav")
+        .otherwise("application/octet-stream")
+    )
+    return df.withColumn("byte_len", F.length(p).cast("long")).withColumn(
+        "media_type", media_type
+    )
+
+
+def _fake_decode(buf: bytes) -> np.ndarray:
+    """Deterministic stand-in decode: digest-seeded 8×8×3 'image'."""
+    seed = int.from_bytes(hashlib.md5(buf).digest()[:4], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+
+
+def decode_image(buf: bytes, fake: bool = False) -> np.ndarray:
+    if fake:
+        return _fake_decode(buf)
+    raise NotImplementedError(
+        "image codecs not available in this container; pass fake=True for "
+        "the deterministic stand-in decode"
+    )
+
+
+def extract_image_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    url_col: str = "url",
+    fake_decode: bool = True,
+    feature_dim: int = 16,
+) -> DataFrame:
+    """Decode → per-image resize/statistics/feature vector, streamed through
+    mapInPandas (one Arrow batch of binaries in, one batch of features out).
+    With ``fake_decode=False`` this raises at task time — the real-codec
+    integration point."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, buf in zip(pdf[url_col], pdf[payload_col]):
+                img = decode_image(bytes(buf), fake=fake_decode)
+                h, w, c = img.shape
+                flat = img.astype(np.float32).reshape(-1)
+                # "resize": average-pool to feature_dim values
+                pooled = flat[: (len(flat) // feature_dim) * feature_dim].reshape(
+                    feature_dim, -1
+                ).mean(axis=1)
+                rows.append(
+                    {
+                        "url": url,
+                        "media_type": "image/fake",
+                        "byte_len": len(buf),
+                        "width": w,
+                        "height": h,
+                        "channels": c,
+                        "mean_intensity": float(img.mean()),
+                        "feature": pooled.astype(np.float32).tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(url_col, payload_col).mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    url_col: str = "url",
+    every_nth: int = 4,
+    frame_size: int = 256,
+) -> DataFrame:
+    """Video-style frame sampling plumbing: treat the binary as a
+    concatenation of fixed-size 'frames', emit every n-th as its own row
+    (url, frame_no, frame binary) — posexplode over a pure byte-slicing
+    expression, no Python."""
+    p = F.col(payload_col)
+    n_frames = F.floor(F.length(p) / frame_size).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
+    sampled = F.filter(idx, lambda i: i % every_nth == 0)
+    # keep the ORIGINAL frame index alongside the bytes (posexplode would
+    # renumber positions within the sampled array)
+    frames = F.transform(
+        sampled,
+        lambda i: F.struct(
+            i.cast("int").alias("frame_no"),
+            F.substring(p, (i * frame_size + 1).cast("int"), frame_size)
+            .cast("binary")
+            .alias("frame"),
+        ),
+    )
+    return df.select(url_col, F.explode(frames).alias("f")).select(
+        url_col, F.col("f.frame_no").alias("frame_no"), F.col("f.frame").alias("frame")
+    )

@@ -1,0 +1,83 @@
+"""Point-in-polygon filter over an :class:`LktIndex` (SURVEY.md §2.3-Q1).
+
+Plan: polygon bbox → broadcast-tree traversal → merged contiguous
+``sort_key`` intervals (subtrees are contiguous in kd order — the defining
+property of the *linear* layout) → pruned scan joined against the interval
+list → exact test per candidate. The exact test is a JVM expression for
+convex polygons / rectangles / diamonds, or an Arrow-batched ray-cast UDF
+for general simple polygons. No per-row Python anywhere (input_hint).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linear_kdtree_spark.functions.geometry import (
+    make_raycast_udf,
+    point_in_convex_polygon,
+)
+from linear_kdtree_spark.operators.build import LktIndex
+
+
+@dataclass
+class Polygon:
+    poly_id: int
+    vertices: list[tuple[float, float]]  # simple polygon, any orientation
+
+    def bbox(self) -> tuple[float, float, float, float]:
+        xs = [v[0] for v in self.vertices]
+        ys = [v[1] for v in self.vertices]
+        return min(xs), min(ys), max(xs), max(ys)
+
+
+def _pruned_candidates(index: LktIndex, polygons: list[Polygon]) -> DataFrame:
+    """(poly_id, key, x, y) candidates from sort_key interval pruning —
+    bucketed equi-join (operators/interval_join.py), not a nested loop."""
+    from linear_kdtree_spark.operators.interval_join import interval_join
+
+    spark = index.points.sparkSession
+    rows = []
+    for p in polygons:
+        xmin, ymin, xmax, ymax = p.bbox()
+        for lo, hi in index.tree.ranges_for_bbox(xmin, ymin, xmax, ymax):
+            rows.append((p.poly_id, lo, hi))
+    if not rows:
+        return spark.createDataFrame([], "poly_id long, key long, x double, y double")
+    pts = index.points.select("key", "x", "y", "sort_key")
+    return interval_join(
+        pts, rows, "poly_id long, lo long, hi long", max_depth=index.max_depth
+    ).select("poly_id", "key", "x", "y")
+
+
+def point_in_polygons(
+    index: LktIndex, polygons: list[Polygon], exact: str = "raycast"
+) -> DataFrame:
+    """Returns (poly_id, key) for every point strictly inside each polygon.
+
+    exact='raycast' — general simple polygons, Arrow-batched even-odd UDF.
+    exact='convex'  — convex polygons as pure half-plane JVM expressions
+                      (faster; caller asserts convexity).
+    """
+    cand = _pruned_candidates(index, polygons)
+    if exact == "convex":
+        from linear_kdtree_spark.functions.geometry import ensure_ccw
+
+        pred = None
+        for p in polygons:
+            this = (F.col("poly_id") == p.poly_id) & point_in_convex_polygon(
+                F.col("x").cast("double"), F.col("y").cast("double"),
+                ensure_ccw(p.vertices),
+            )
+            pred = this if pred is None else (pred | this)
+        return cand.filter(pred).select("poly_id", "key")
+    udf = make_raycast_udf(
+        index.points.sparkSession, {p.poly_id: p.vertices for p in polygons}
+    )
+    return (
+        cand.withColumn("inside", udf("poly_id", "x", "y"))
+        .filter(F.col("inside"))
+        .select("poly_id", "key")
+    )

@@ -1,0 +1,64 @@
+"""Raster ↔ vector (SURVEY.md §2.3-Q5).
+
+Rasterize: tile assignment at depth d + groupBy(tile) aggregation — one
+shuffle with map-side partial aggregation.
+Vectorize: aggregated tile stats → tile rectangle geometry, derived from the
+tile id by pure bit-deinterleave column expressions (no UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from linear_kdtree_spark.functions.morton import WORLD
+from linear_kdtree_spark.operators.tile import assign_tiles_morton
+
+
+def _deinterleave(tile: Column, depth: int, odd: bool) -> Column:
+    """Extract the x (odd=False) or y (odd=True) cell ordinate from a
+    Z-order tile id."""
+    out = F.lit(0).cast("long")
+    for i in range(depth):
+        bitpos = 2 * i + (1 if odd else 0)
+        out = out + (
+            F.floor(tile / F.lit(float(1 << bitpos))).cast("long") % 2
+        ) * F.lit(1 << i)
+    return out
+
+
+def rasterize(
+    points: DataFrame,
+    depth: int,
+    value_col: str | None = None,
+    bounds: tuple[float, float, float, float] = WORLD,
+) -> DataFrame:
+    """(tile, n_points [, sum_value, avg_value]) per non-empty tile."""
+    tiled = assign_tiles_morton(points, depth, bounds)
+    aggs = [F.count(F.lit(1)).alias("n_points")]
+    if value_col:
+        aggs += [
+            F.sum(value_col).alias("sum_value"),
+            F.avg(value_col).alias("avg_value"),
+        ]
+    return tiled.groupBy("tile").agg(*aggs)
+
+
+def vectorize(
+    raster: DataFrame,
+    depth: int,
+    bounds: tuple[float, float, float, float] = WORLD,
+) -> DataFrame:
+    """Adds tile rectangle bounds (xmin, ymin, xmax, ymax) to a raster DF —
+    the polygonize direction of Q5."""
+    xmin_b, ymin_b, xmax_b, ymax_b = bounds
+    wx = (xmax_b - xmin_b) / (1 << depth)
+    wy = (ymax_b - ymin_b) / (1 << depth)
+    ix = _deinterleave(F.col("tile"), depth, odd=False)
+    iy = _deinterleave(F.col("tile"), depth, odd=True)
+    return (
+        raster.withColumn("xmin", F.lit(xmin_b) + ix * F.lit(wx))
+        .withColumn("ymin", F.lit(ymin_b) + iy * F.lit(wy))
+        .withColumn("xmax", F.col("xmin") + F.lit(wx))
+        .withColumn("ymax", F.col("ymin") + F.lit(wy))
+    )

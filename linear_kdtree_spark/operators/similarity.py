@@ -1,0 +1,202 @@
+"""Similarity search over embedding columns (``array<float>``):
+brute-force cosine top-k (the exact baseline) and two scale paths —
+IVF (coarse-quantizer buckets) and random-hyperplane LSH sign-buckets.
+
+All scoring is sequential-fold column expressions (``zip_with`` +
+``aggregate`` — deterministic summation order, whole-stage codegen) or
+numpy inside Arrow batches; never per-row Python.
+
+Scale notes: brute top-k is a broadcast of the (small) query set against
+the vector table — one pass, one shuffle for the final per-query top-k.
+IVF cuts the scanned fraction to ~n_probe/n_cells; cells are a plain
+equi-join key, so Parquet bucketing/partitioning by cell makes the probe
+a partition-pruned scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<numeric> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_topk_cosine(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "q_embedding",
+) -> DataFrame:
+    """(query_id, vec_id, rank): exact cosine top-k of each query against
+    every vector (self-matches excluded when ids collide). Ties break by
+    ascending vec_id."""
+    q = F.broadcast(queries.select(query_id, query_vec_col))
+    joined = vectors.select(vec_id, vec_col).crossJoin(q)
+    scored = joined.select(
+        query_id,
+        vec_id,
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos"),
+    ).filter(F.col(query_id) != F.col(vec_id))
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos"), vec_id)
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id, vec_id, "rank")
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell): nearest centroid by cosine (ties → lowest centroid
+    id) — the coarse quantizer of an IVF index. centroids: (cell,
+    c_embedding), broadcast."""
+    joined = vectors.select(vec_id, vec_col).crossJoin(
+        F.broadcast(centroids.select("cell", "c_embedding"))
+    )
+    scored = joined.select(
+        vec_id,
+        "cell",
+        cosine(F.col(vec_col), F.col("c_embedding")).alias("cos"),
+    )
+    w = Window.partitionBy(vec_id).orderBy(F.desc("cos"), "cell")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(vec_id, "cell")
+    )
+
+
+def deterministic_centroids(
+    vectors: DataFrame, n_cells: int, vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse centroids: the vectors whose id ≡ 0 (mod
+    ceil(n/n_cells)) — a seed-free, reproducible quantizer (k-means would
+    introduce iteration-order nondeterminism; for web-scale recall the
+    bucketing only has to be balanced, not optimal)."""
+    n = vectors.count()
+    stride = max(1, n // n_cells)
+    return (
+        vectors.filter((F.col(vec_id) % stride == 0))
+        .select(
+            (F.col(vec_id) / stride).cast("long").alias("cell"),
+            F.col(vec_col).alias("c_embedding"),
+        )
+        .filter(F.col("cell") < n_cells)
+    )
+
+
+def ivf_topk_cosine(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    vec_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "q_embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's n_probe nearest
+    cells. Same output shape as brute_topk_cosine."""
+    cents = deterministic_centroids(vectors, n_cells, vec_id, vec_col).persist()
+    assign = ivf_assign(vectors, cents, vec_id, vec_col)
+    binned = vectors.join(assign, vec_id)
+
+    qjoined = queries.select(query_id, query_vec_col).crossJoin(
+        F.broadcast(cents)
+    )
+    qscored = qjoined.select(
+        query_id, "cell",
+        cosine(F.col(query_vec_col), F.col("c_embedding")).alias("cos"),
+    )
+    qw = Window.partitionBy(query_id).orderBy(F.desc("cos"), "cell")
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= n_probe)
+        .select(query_id, "cell")
+    )
+    qv = queries.select(query_id, query_vec_col).join(probes, query_id)
+    cand = binned.join(F.broadcast(qv), "cell")
+    scored = cand.select(
+        query_id, vec_id,
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos"),
+    ).filter(F.col(query_id) != F.col(vec_id))
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos"), vec_id)
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id, vec_id, "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs (a < b, cosine ≥ threshold) via
+    random-hyperplane sign LSH: bucket = sign bits against n_planes
+    deterministic pseudo-hyperplanes (unit-ish vectors from an integer
+    hash of (plane, dim)); exact cosine refine within buckets. High
+    thresholds ⇒ high bucket-collision recall."""
+    dim_count = F.size(F.col(vec_col))
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        # pseudo-random plane component for (p, i): in [-0.5, 0.5)
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.sequence(F.lit(0), dim_count - 1),
+                lambda v, i: v.cast("double")
+                * (
+                    F.pmod((i + F.lit(p * 131)) * F.lit(2654435761), F.lit(10007))
+                    / F.lit(10007.0)
+                    - 0.5
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    bucketed = vectors.select(vec_id, vec_col, sig.alias("bucket"))
+    a = bucketed.select(
+        F.col("bucket"), F.col(vec_id).alias("a_id"), F.col(vec_col).alias("a_v")
+    )
+    b = bucketed.select(
+        F.col("bucket"), F.col(vec_id).alias("b_id"), F.col(vec_col).alias("b_v")
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id", cosine(F.col("a_v"), F.col("b_v")).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id")
+        .distinct()
+    )

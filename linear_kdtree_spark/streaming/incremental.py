@@ -1,0 +1,92 @@
+"""Streaming / batched index builds — the Spark analogue of the reference's
+CPU/GPU software pipeline ``lkt_create_pipelined`` (lkt.cu:71-104).
+
+The reference hand-codes overlap: CPU builds tree i+1 while the GPU labels
+tree i (comment at lkt.cu:92). Spark already overlaps stages and jobs, so
+the capability is re-expressed two ways (SURVEY.md §2.1-B5):
+
+- `build_batches`: an ordered list of point DataFrames → one LktIndex per
+  batch (consecutive Spark jobs; the scheduler pipelines stage execution,
+  and with the FAIR scheduler concurrent submission overlaps jobs exactly
+  like the reference's pipeline).
+- `incremental_build_stream`: Structured Streaming `foreachBatch` — every
+  micro-batch of points is labelled against the *current* broadcast tree
+  and appended to a sink; the tree is rebuilt every `rebuild_every`
+  batches (index maintenance under ingest).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linear_kdtree_spark.operators.build import LktIndex, lkt_build
+from linear_kdtree_spark.operators.codes import attach_labels
+
+
+def build_batches(
+    batches: list[DataFrame], max_depth: int = 16, **build_kw
+) -> list[LktIndex]:
+    """One independent index per input batch — the reference's pipelined
+    multi-tree build (main.cpp:226-255 drives 10 equal batches)."""
+    return [lkt_build(b, max_depth=max_depth, **build_kw) for b in batches]
+
+
+@dataclass
+class StreamingIndexer:
+    """foreachBatch sink: label each micro-batch against the current tree,
+    append to `out_path`, rebuild the tree every `rebuild_every` batches
+    from everything seen so far."""
+
+    out_path: str
+    max_depth: int = 16
+    strategy: str = "mean"
+    leaf_size: int = 16
+    rebuild_every: int = 4
+    index: LktIndex | None = None
+    batches_seen: int = 0
+    total_rows: int = 0
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        n = batch_df.count()
+        if n == 0:
+            return
+        self.batches_seen += 1
+        self.total_rows += n
+        if self.index is None or self.batches_seen % self.rebuild_every == 1:
+            seen = spark.read.parquet(self.out_path) if self.batches_seen > 1 else None
+            base = (
+                batch_df.select("key", "x", "y")
+                if seen is None
+                else seen.select("key", "x", "y").unionAll(
+                    batch_df.select("key", "x", "y")
+                )
+            )
+            self.index = lkt_build(
+                base,
+                max_depth=self.max_depth,
+                strategy=self.strategy,
+                leaf_size=self.leaf_size,
+            )
+        labelled = attach_labels(
+            batch_df.select("key", "x", "y"), self.index.tree,
+            max_depth=self.max_depth,
+        ).withColumn("batch_id", F.lit(batch_id))
+        labelled.write.mode("append").parquet(self.out_path)
+
+
+def incremental_build_stream(
+    stream_df: DataFrame, out_path: str, checkpoint: str, **indexer_kw
+):
+    """Wire a streaming points DataFrame into the StreamingIndexer; returns
+    the started StreamingQuery (caller awaits/stops)."""
+    indexer = StreamingIndexer(out_path=out_path, **indexer_kw)
+    return (
+        stream_df.writeStream.foreachBatch(indexer.process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    ), indexer

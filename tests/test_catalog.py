@@ -1,0 +1,42 @@
+"""Table-format layer (Iceberg-or-parquet manifest emulation)."""
+
+import numpy as np
+import pandas as pd
+
+from linear_kdtree_spark.operators.build import lkt_build
+from linear_kdtree_spark.sources.catalog import TableCatalog, save_index
+
+
+def test_catalog_roundtrip_and_snapshots(spark, tmp_path):
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    df1 = spark.range(10).withColumnRenamed("id", "v")
+    m1 = cat.write("t", df1)
+    assert cat.read("t").count() == 10
+    df2 = spark.range(20).withColumnRenamed("id", "v")
+    cat.write("t", df2)
+    assert cat.read("t").count() == 20
+    snaps = cat.snapshots("t")
+    assert len(snaps) == 2
+    # time travel to the first snapshot
+    assert cat.read("t", snapshot_id=snaps[0]["id"]).count() == 10
+
+
+def test_save_index_tables(spark, tmp_path):
+    rng = np.random.default_rng(1)
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "key": np.arange(500),
+                "x": rng.uniform(0, 100, 500).astype("float32"),
+                "y": rng.uniform(0, 100, 500).astype("float32"),
+            }
+        )
+    )
+    idx = lkt_build(pts, max_depth=6, strategy="mean")
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    save_index(cat, idx)
+    assert cat.read("lkt_points").count() == 500
+    assert cat.read("lkt_splits").count() == idx.splits.count()
+    assert cat.read("lkt_build_log").count() == len(idx.lineage)
+    pm = cat.read("lkt_partition_metrics")
+    assert pm.groupBy().sum("n_rows").first()[0] == 500

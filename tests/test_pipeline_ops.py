@@ -1,0 +1,298 @@
+"""Dedup / text / similarity / multimodal operators vs Python oracles."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy cat", "en"),
+        (2, "der schnelle braune fuchs springt und das ist gut", "de"),
+        (3, "le chat et la souris est les amis", "fr"),
+        (4, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 0
+        (5, "completely different words here about spark engines", "en"),
+        (6, "el gato y la casa que es grande los dias", "es"),
+        (7, "", "und"),
+        (8, "one", "und"),
+        (9, "o que de em os dias grandes", "pt"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def py_tokens(t):
+    return [w for w in t.lower().split() if w]
+
+
+def py_shingles(t, n=3):
+    toks = [w for w in t.split() if w]
+    return list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)))
+
+
+def test_exact_dedup(spark, docs):
+    from linear_kdtree_spark.operators.dedup import exact_dedup
+
+    got = {r["doc_id"]: r for r in exact_dedup(docs).collect()}
+    assert got[4]["canonical_id"] == 0 and got[4]["is_duplicate"]
+    assert got[0]["canonical_id"] == 0 and not got[0]["is_duplicate"]
+    assert got[0]["group_size"] == 2
+    assert got[5]["group_size"] == 1
+    assert got[0]["content_hash"] == hashlib.md5(
+        b"the quick brown fox jumps over the lazy dog"
+    ).hexdigest()
+
+
+def test_shingles_and_jaccard(spark, docs):
+    from linear_kdtree_spark.operators.dedup import jaccard_pairs, ngram_profile
+
+    prof = {r["doc_id"]: r["n_shingles"] for r in ngram_profile(docs, 3).collect()}
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for did, text in rows.items():
+        assert prof[did] == len(py_shingles(text, 3)), did
+
+    pairs = spark.createDataFrame([(0, 1), (0, 4), (0, 5), (7, 8)],
+                                  "a_id long, b_id long")
+    got = {(r["a_id"], r["b_id"]): r["jaccard"]
+           for r in jaccard_pairs(docs, pairs, 3).collect()}
+
+    def jac(a, b):
+        sa, sb = set(py_shingles(rows[a], 3)), set(py_shingles(rows[b], 3))
+        u = sa | sb
+        return len(sa & sb) / len(u) if u else 1.0
+
+    for (a, b), v in got.items():
+        assert v == pytest.approx(jac(a, b)), (a, b)
+    assert got[(0, 4)] == 1.0
+    assert got[(0, 5)] == 0.0
+    assert got[(7, 8)] == 1.0  # both empty shingle sets → defined as 1.0
+
+
+def test_minhash_lsh_finds_dups(spark, docs):
+    from linear_kdtree_spark.operators.dedup import lsh_candidate_pairs, minhash_dedup
+
+    cands = {(r["a_id"], r["b_id"])
+             for r in lsh_candidate_pairs(docs, num_perm=8, bands=4).collect()}
+    assert (0, 4) in cands  # exact dups always collide
+    refined = {(r["a_id"], r["b_id"]): r["jaccard"]
+               for r in minhash_dedup(docs, threshold=0.5, num_perm=8, bands=4).collect()}
+    assert refined[(0, 4)] == 1.0
+    assert all(j >= 0.5 for j in refined.values())
+
+
+def test_minhash_signature_oracle(spark, docs):
+    """md5-min signature equals the Python re-computation."""
+    from linear_kdtree_spark.operators.dedup import minhash_signature
+
+    got = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select(
+            "doc_id", minhash_signature(F.col("text"), 4, 3).alias("sig")
+        ).collect()
+    }
+    for did, text in [(0, "the quick brown fox jumps over the lazy dog")]:
+        sh = py_shingles(text, 3)
+        for j in range(4):
+            expect = min(hashlib.md5(f"{s}:{j}".encode()).hexdigest() for s in sh)
+            assert got[did][j] == expect
+
+
+def test_simhash_oracle(spark, docs):
+    from linear_kdtree_spark.operators.dedup import simhash_profile
+
+    got = {r["doc_id"]: r["simhash"]
+           for r in simhash_profile(docs, bits=16).collect()}
+
+    def py_simhash(text, bits=16):
+        toks = list(dict.fromkeys(py_tokens(text)))
+        out = 0
+        for j in range(bits):
+            tally = 0
+            for t in toks:
+                h = hashlib.md5(t.encode()).hexdigest()
+                hv = int(h[j // 4], 16)
+                bit = (hv >> (3 - j % 4)) & 1
+                tally += 1 if bit else -1
+            if tally >= 0:
+                out |= 1 << j
+        return out
+
+    for did, text in [(0, "the quick brown fox jumps over the lazy dog"),
+                      (7, ""), (8, "one")]:
+        assert got[did] == py_simhash(text), did
+    assert got[0] == got[4]
+    # near-dup docs 0/1 differ in ≤ a few bits
+    ham = bin(got[0] ^ got[1]).count("1")
+    assert ham <= 6
+
+
+def test_simhash_near_pairs(spark, docs):
+    from linear_kdtree_spark.operators.dedup import simhash_near_pairs
+
+    got = {(r["a_id"], r["b_id"]): r["hamming"]
+           for r in simhash_near_pairs(docs, bits=16, max_hamming=2).collect()}
+    assert got.get((0, 4)) == 0
+
+
+def test_text_stats_and_lang(spark, docs):
+    from linear_kdtree_spark.functions.text import (
+        bpe_ish_token_count, lang_id, quality_score, token_count,
+    )
+
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            token_count(F.col("text")).alias("nt"),
+            bpe_ish_token_count(F.col("text")).alias("nb"),
+            lang_id(F.col("text")).alias("lg"),
+            quality_score(F.col("text")).alias("q"),
+        ).collect()
+    }
+    assert out[0]["nt"] == 9
+    assert out[7]["nt"] == 0 and out[7]["lg"] == "und"
+    assert out[0]["lg"] == "en"
+    assert out[2]["lg"] == "de"
+    assert out[3]["lg"] == "fr"
+    assert out[6]["lg"] == "es"
+    assert out[9]["lg"] == "pt"
+    assert out[7]["q"] < out[0]["q"]
+
+
+def test_fingerprint_and_karp_rabin(spark, docs):
+    from linear_kdtree_spark.functions.text import (
+        FP_MOD, fingerprint_expr, make_karp_rabin_udf,
+    )
+
+    got = {r["doc_id"]: r["fp"]
+           for r in docs.select("doc_id",
+                                fingerprint_expr(F.col("text")).alias("fp")).collect()}
+
+    def py_fp(text):
+        return sum(
+            ord(c) * ((i + 1) * 2654435761 % FP_MOD) for i, c in enumerate(text)
+        ) % FP_MOD
+
+    for did, text in [(0, "the quick brown fox jumps over the lazy dog"),
+                      (7, ""), (8, "one")]:
+        assert got[did] == py_fp(text), did
+
+    kr = make_karp_rabin_udf(window=8)
+    rows = {r["doc_id"]: r["kr"]
+            for r in docs.select("doc_id", kr(F.col("text")).alias("kr")).collect()}
+    assert rows[0] == rows[4]  # identical text → identical min window hash
+    assert rows[7] == -1  # shorter than window
+    assert rows[0] != rows[5]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(3)
+    n, d = 120, 16
+    v = rng.normal(size=(n, d)).astype(np.float32)
+    v[100] = v[0] * 1.0001  # near-dup pair
+    return spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n), "embedding": list(v)})
+    ), v
+
+
+def test_brute_topk_cosine(spark, vectors):
+    from linear_kdtree_spark.operators.similarity import brute_topk_cosine
+
+    df, v = vectors
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    got = {}
+    for r in brute_topk_cosine(df, queries, 4).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = vn @ vn.T
+    for q in range(5):
+        s = sims[q].copy()
+        s[q] = -np.inf
+        order = np.lexsort((np.arange(len(s)), -s))[:4]
+        assert [vid for _, vid in sorted(got[q])] == list(order), q
+
+
+def test_ivf_recall_and_near_dup(spark, vectors):
+    from linear_kdtree_spark.operators.similarity import (
+        brute_topk_cosine, cosine_near_dup_pairs, ivf_topk_cosine,
+    )
+
+    df, v = vectors
+    queries = df.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    brute = {(r["query_id"], r["vec_id"])
+             for r in brute_topk_cosine(df, queries, 3).collect()}
+    ivf = {(r["query_id"], r["vec_id"])
+           for r in ivf_topk_cosine(df, queries, 3, n_cells=4, n_probe=2).collect()}
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.5  # approximate, but must be meaningfully overlapping
+    assert len(ivf) == len(brute)
+
+    dups = {(r["a_id"], r["b_id"])
+            for r in cosine_near_dup_pairs(df, threshold=0.999).collect()}
+    assert (0, 100) in dups
+
+
+def test_multimodal_plumbing(spark):
+    from linear_kdtree_spark.operators.multimodal import (
+        attach_media_metadata, decode_image, extract_image_features, sample_frames,
+    )
+
+    rows = [
+        ("u0", bytearray(b"\x89PNG\r\n" + b"x" * 1000)),
+        ("u1", bytearray(b"\xff\xd8\xff" + b"y" * 2048)),
+        ("u2", bytearray(b"RIFFxxxx" + b"z" * 512)),
+    ]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    meta = {r["url"]: r for r in attach_media_metadata(df).collect()}
+    assert meta["u0"]["media_type"] == "image/png"
+    assert meta["u1"]["media_type"] == "image/jpeg"
+    assert meta["u2"]["media_type"] == "audio/wav"
+    assert meta["u0"]["byte_len"] == 1006
+
+    feats = {r["url"]: r for r in extract_image_features(df).collect()}
+    assert len(feats) == 3
+    assert len(feats["u0"]["feature"]) == 16
+    assert feats["u0"]["width"] == 8 and feats["u0"]["channels"] == 3
+    # deterministic: same bytes → same features
+    feats2 = {r["url"]: r for r in extract_image_features(df).collect()}
+    assert feats["u0"]["mean_intensity"] == feats2["u0"]["mean_intensity"]
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"abc", fake=False)
+
+    frames = sample_frames(df, every_nth=2, frame_size=256).collect()
+    by_url = {}
+    for r in frames:
+        by_url.setdefault(r["url"], []).append(r["frame_no"])
+    assert by_url["u1"] == [0, 2, 4, 6]  # 2051 bytes → 8 frames, every 2nd
+    assert all(len(r["frame"]) <= 256 for r in frames)
+
+
+def test_streaming_incremental_build(spark, tmp_path):
+    from linear_kdtree_spark.streaming.incremental import StreamingIndexer
+
+    rng = np.random.default_rng(5)
+    out = str(tmp_path / "stream_out")
+    indexer = StreamingIndexer(out_path=out, max_depth=8, rebuild_every=2)
+    for batch_id in range(3):
+        pdf = pd.DataFrame(
+            {
+                "key": np.arange(batch_id * 100, batch_id * 100 + 100),
+                "x": rng.uniform(0, 100, 100).astype("float32"),
+                "y": rng.uniform(0, 100, 100).astype("float32"),
+            }
+        )
+        indexer.process_batch(spark.createDataFrame(pdf), batch_id)
+    result = spark.read.parquet(out)
+    assert result.count() == 300
+    assert result.select("batch_id").distinct().count() == 3
+    assert {"code", "node", "sort_key"} <= set(result.columns)

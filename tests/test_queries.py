@@ -1,0 +1,199 @@
+"""Query operators vs brute-force oracles (SURVEY.md §5.3): kNN, PIP,
+tiles, spatial join, radius join, raster — exact row-set equality."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from linear_kdtree_spark.functions.morton import tile_bounds
+from linear_kdtree_spark.operators.build import lkt_build
+from linear_kdtree_spark.operators.knn import knn
+from linear_kdtree_spark.operators.pip import Polygon, point_in_polygons
+from linear_kdtree_spark.operators.raster import rasterize, vectorize
+from linear_kdtree_spark.operators.spatial_join import (
+    radius_join,
+    spatial_join_polygons,
+)
+from linear_kdtree_spark.operators.tile import assign_tiles_lkt, assign_tiles_morton
+from linear_kdtree_spark.oracle import point_in_polygon
+
+BOUNDS = (0.0, 0.0, 100.0, 100.0)
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    rng = np.random.default_rng(42)
+    n = 4000
+    # clustered + uniform mix (the skewed case)
+    n_c = int(n * 0.7)
+    centers = rng.uniform(10, 90, (12, 2))
+    which = rng.integers(0, 12, n_c)
+    cpts = centers[which] + rng.normal(0, 2.0, (n_c, 2))
+    upts = rng.uniform(0, 100, (n - n_c, 2))
+    xy = np.clip(np.vstack([cpts, upts]), 0, 99.999).astype(np.float32)
+    keys = np.arange(n, dtype=np.int64)
+    return keys, xy[:, 0], xy[:, 1]
+
+
+@pytest.fixture(scope="module")
+def index(spark, dataset):
+    keys, x, y = dataset
+    df = spark.createDataFrame(
+        pd.DataFrame({"key": keys, "x": x, "y": y})
+    )
+    idx = lkt_build(df, max_depth=12, strategy="mean", leaf_size=8)
+    idx.points = idx.points.persist()
+    idx.points.count()
+    return idx
+
+
+def test_knn_exact(spark, index, dataset):
+    keys, x, y = dataset
+    rng = np.random.default_rng(7)
+    queries = [
+        (i, float(q[0]), float(q[1]))
+        for i, q in enumerate(rng.uniform(0, 100, (40, 2)))
+    ]
+    k = 5
+    got = knn(index, queries, k).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["key"], r["dist2"]))
+    xf = x.astype(np.float64)
+    yf = y.astype(np.float64)
+    for qid, qx, qy in queries:
+        d2 = (xf - qx) ** 2 + (yf - qy) ** 2
+        order = np.lexsort((keys, d2))[:k]
+        expect = [int(keys[i]) for i in order]
+        rows = sorted(by_q[qid])
+        assert [r[1] for r in rows] == expect, f"query {qid}"
+        assert [r[0] for r in rows] == list(range(1, k + 1))
+
+
+def test_knn_k_larger_than_dataset(spark, index, dataset):
+    keys, x, y = dataset
+    got = knn(index, [(0, 50.0, 50.0)], k=len(keys) + 10)
+    assert got.count() == len(keys)
+
+
+def test_pip_exact(spark, index, dataset):
+    keys, x, y = dataset
+    rng = np.random.default_rng(11)
+    polys = []
+    for pid in range(8):
+        cx, cy = rng.uniform(20, 80, 2)
+        kgon = rng.integers(3, 9)
+        radii = rng.uniform(3, 12, kgon)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, kgon))
+        verts = [
+            (float(cx + r * np.cos(a)), float(cy + r * np.sin(a)))
+            for r, a in zip(radii, ang)
+        ]
+        polys.append(Polygon(pid, verts))
+    # degenerate sliver triangle
+    polys.append(Polygon(98, [(0.0, 0.0), (100.0, 0.001), (100.0, 0.002)]))
+
+    got = {
+        (r["poly_id"], r["key"])
+        for r in point_in_polygons(index, polys).collect()
+    }
+    expect = set()
+    for p in polys:
+        for i in range(len(keys)):
+            if point_in_polygon(float(x[i]), float(y[i]), p.vertices):
+                expect.add((p.poly_id, int(keys[i])))
+    assert got == expect
+
+
+def test_spatial_join_matches_pip(spark, index, dataset):
+    """Index-pruned PIP and tile-join PIP must agree row-for-row."""
+    rng = np.random.default_rng(13)
+    polys = []
+    for pid in range(5):
+        cx, cy = rng.uniform(20, 80, 2)
+        verts = [
+            (float(cx + 8 * np.cos(a)), float(cy + 8 * np.sin(a)))
+            for a in np.linspace(0, 2 * np.pi, 6, endpoint=False)
+        ]
+        polys.append(Polygon(pid, verts))
+    via_index = {
+        (r["poly_id"], r["key"])
+        for r in point_in_polygons(index, polys).collect()
+    }
+    raw = index.points.select("key", "x", "y")
+    via_join = {
+        (r["poly_id"], r["key"])
+        for r in spatial_join_polygons(raw, polys, depth=6, bounds=BOUNDS).collect()
+    }
+    assert via_index == via_join
+
+
+def test_radius_join_exact(spark, dataset):
+    keys, x, y = dataset
+    sub = 600
+    df = spark.createDataFrame(
+        pd.DataFrame({"key": keys[:sub], "x": x[:sub], "y": y[:sub]})
+    )
+    r = 1.5
+    got = {
+        (a, b)
+        for a, b in radius_join(df, df, r, dedup_pairs=True)
+        .select("a_key", "b_key")
+        .collect()
+    }
+    xf = x[:sub].astype(np.float64)
+    yf = y[:sub].astype(np.float64)
+    expect = set()
+    for i in range(sub):
+        d2 = (xf - xf[i]) ** 2 + (yf - yf[i]) ** 2
+        for j in np.flatnonzero(d2 < r * r):
+            if i < j:
+                expect.add((int(keys[i]), int(keys[j])))
+    assert got == expect
+
+
+def test_tiles_lkt_prefix(spark, index):
+    """lkt tile at depth d = the point's node-path prefix — verify against
+    sort_key prefix arithmetic."""
+    d = 4
+    rows = (
+        assign_tiles_lkt(index, d)
+        .join(index.points.select("key", "sort_key", "path_len", "node"), "key")
+        .collect()
+    )
+    for r in rows:
+        if r["path_len"] >= d:
+            prefix = r["sort_key"] >> (index.max_depth - d)
+            assert r["tile"] == prefix + (1 << d) - 1
+        else:
+            assert r["tile"] == r["node"]
+
+
+def test_morton_tiles_and_raster(spark, index, dataset):
+    keys, x, y = dataset
+    d = 5
+    pts = index.points.select("key", "x", "y")
+    got = {
+        r["key"]: r["tile"]
+        for r in assign_tiles_morton(pts, d, BOUNDS).select("key", "tile").collect()
+    }
+    nx = 1 << d
+    scale = nx / 100.0  # same double ops as grid_cell_col
+    for i in range(0, len(keys), 37):
+        ix = min(int(np.floor((float(np.float32(x[i])) - 0.0) * scale)), nx - 1)
+        iy = min(int(np.floor((float(np.float32(y[i])) - 0.0) * scale)), nx - 1)
+        tile = 0
+        for b in range(d):
+            tile |= ((ix >> b) & 1) << (2 * b)
+            tile |= ((iy >> b) & 1) << (2 * b + 1)
+        assert got[int(keys[i])] == tile, i
+
+    ras = rasterize(pts, d, bounds=BOUNDS)
+    assert ras.agg(F.sum("n_points")).collect()[0][0] == len(keys)
+    vec = vectorize(ras, d, bounds=BOUNDS).collect()
+    for r in vec[:20]:
+        xmin, ymin, xmax, ymax = tile_bounds(r["tile"], d, BOUNDS)
+        assert (r["xmin"], r["ymin"], r["xmax"], r["ymax"]) == pytest.approx(
+            (xmin, ymin, xmax, ymax)
+        )
