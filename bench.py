@@ -56,7 +56,31 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    pts = points_df(spark, sf_dir).persist()
+    # deterministic ×AMP amplification: replicate each base point with a
+    # per-replica jitter (≤ 1e-4°, keeps the cluster structure). The sf0.1
+    # base (600 k) is too small to exercise 32 cores — per-level fixed costs
+    # dominate and scaling measurements invert.
+    amp = int(os.environ.get("SPARK_GRAFT_BENCH_AMP", "8"))
+    base = points_df(spark, sf_dir)
+    reps = spark.range(amp).withColumnRenamed("id", "r")
+    pts = (
+        base.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("key") * amp + F.col("r")).alias("key"),
+            (
+                F.col("x")
+                + (F.pmod((F.col("key") * amp + F.col("r")) * 69069, F.lit(2001)) - 1000)
+                / 1.0e7
+            ).alias("x"),
+            (
+                F.col("y")
+                + (F.pmod((F.col("key") * amp + F.col("r")) * 40503, F.lit(2001)) - 1000)
+                / 1.0e7
+            ).alias("y"),
+        )
+        .repartition(cpus * 2)
+        .persist()
+    )
     n_points = timed("load_points", lambda: pts.count())
 
     idx = timed(
@@ -79,7 +103,10 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "tile_raster",
         lambda: rasterize(pts, TILE_DEPTH).count(),
     )
-    sub = pts.filter("key % 31 < 2")
+    # radius join on the unamplified base sample (amplified replicas sit
+    # ~1e-4° apart — a radius join over them measures pair explosion, not
+    # join throughput)
+    sub = base.filter("key % 31 < 2")
     timed("radius_join", lambda: radius_join(sub, sub, RADIUS, dedup_pairs=True).count())
 
     docs = spark.table("documents")

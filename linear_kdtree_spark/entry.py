@@ -129,6 +129,7 @@ def q_lkt_build_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_depth=BUILD_DEPTH,
         strategy="mean",
         coord_type="double",
+        local_threshold=0,  # gate the distributed level-sync path itself
     )
     return idx.points.select("key", "node")
 

@@ -89,6 +89,61 @@ def ancestor_at_depth(node: Column, path_len: Column, depth: int) -> Column:
 
 
 # --------------------------------------------------------------------------
+# fast branch-free derivations (the build's finalize projection)
+# --------------------------------------------------------------------------
+
+def _smear(v: Column) -> Column:
+    """Propagate the highest set bit downward (v ≤ 2^33)."""
+    for s in (1, 2, 4, 8, 16, 32):
+        v = v.bitwiseOR(F.shiftright(v, s))
+    return v
+
+
+def _rev32(v: Column) -> Column:
+    """Reverse the low 32 bits (v < 2^32, result < 2^32)."""
+    m = [
+        (0x55555555, 1),
+        (0x33333333, 2),
+        (0x0F0F0F0F, 4),
+        (0x00FF00FF, 8),
+        (0x0000FFFF, 16),
+    ]
+    for mask, s in m:
+        v = (
+            F.shiftright(v, s).bitwiseAND(F.lit(mask))
+        ).bitwiseOR(v.bitwiseAND(F.lit(mask)) * F.lit(1 << s))
+    return v
+
+
+def fast_derived_cols(
+    node: Column, max_depth: int = MAX_DEPTH
+) -> tuple[Column, Column, Column]:
+    """(path_len, code, sort_key) from the heap node id in ~25 integer ops
+    per row — the codegen-friendly replacement of the didactic per-bit expressions
+    above (measured ~10× faster at 19 M rows; equality is unit-tested):
+
+        v    = node + 1;   smear = v with high bit propagated down
+        2^L  = (smear + 1) >> 1  (highest power of two ≤ v)
+        L    = bit_count(smear) - 1
+        sort_key = v · 2^(MD-L) − 2^MD   (pad path bits MSB-first)
+        code = (2^L − 1) − rev_MD(sort_key)   (bit i of code = 1 − b_{i+1})
+    """
+    if max_depth > 32:
+        raise ValueError("fast_derived_cols supports max_depth ≤ 32")
+    v = (node + 1).cast("long")
+    smear = _smear(v)
+    hp = F.shiftright(smear + 1, 1)  # 2^L
+    plen = (F.bit_count(smear) - 1).cast("int")
+    top = F.lit(1 << max_depth).cast("long")
+    # 2^(MD-L) = 2^MD / 2^L — both powers of two, exact in double
+    scale = (top / hp).cast("long")
+    sort_key = (v * scale - top).cast("long")
+    padded32 = sort_key * F.lit(1 << (32 - max_depth)) if max_depth < 32 else sort_key
+    code = (hp - 1 - _rev32(padded32)).cast("long")
+    return plen, code, sort_key
+
+
+# --------------------------------------------------------------------------
 # Fixed-grid Z-order tiles (H3/S2-style interop; SQL-portable)
 # --------------------------------------------------------------------------
 

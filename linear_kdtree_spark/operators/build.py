@@ -18,8 +18,10 @@ Scale design (100 TB / 10^12 rows):
 - the split-table size is bounded by ``leaf_size`` (a node splits only while
   it holds > leaf_size points), NOT by depth — with leaf_size = 1e6 a
   10^12-point build yields ~1e6 split nodes (~50 MB collected/broadcast);
-- the loop carries only ``(key, x, y, node, code, sk, path_len)``; payload
-  columns are projected out by the caller and joined back by key;
+- the loop carries only ``(key, x, y, node)`` — code / sort_key / path_len
+  are pure bit transforms of the final heap node id, derived once at
+  finalize (functions/morton.py); payload columns are projected out by the
+  caller and joined back by key;
 - per level: exactly one shuffle (groupBy('node') with map-side partial
   aggregation) for the ``mean`` and ``median_approx`` strategies; the exact
   ``median`` strategy adds a window sort per level and targets
@@ -42,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -132,6 +135,7 @@ def lkt_build(
     x_col: str = "x",
     y_col: str = "y",
     coord_type: str = "float",
+    local_threshold: int = 200_000,
 ) -> LktIndex:
     """Build the index over a points DataFrame.
 
@@ -139,12 +143,27 @@ def lkt_build(
     lkt.h:13, compared bit-exactly in fixture tests); 'double' keeps full
     input precision (used where results must match a float64 oracle).
 
+    **Hybrid two-phase build**: levels are built distributed (one shuffle
+    each) only while some node still holds more than ``local_threshold``
+    points; as soon as every active node fits in a task, ONE
+    ``groupBy(node).applyInPandas`` pass finishes every subtree locally
+    with the numpy implementation of the identical canonical semantics
+    (oracle.build_oracle with depth/axis offset). At 10^12 points with a
+    2e5 threshold that is ~22 distributed levels + one local pass; at
+    bench scale it replaces ~10 of 14 levels. Set ``local_threshold=0``
+    to force the pure level-synchronous path.
+
     ``points`` must carry (key_col, x_col, y_col); other columns are dropped
     (join them back by ``key``). Returns an :class:`LktIndex` whose
     ``points`` are range-partitioned and sorted by ``sort_key`` — the
     physical kd order of the reference's in-place array.
     """
     spark = points.sparkSession
+    if checkpoint_dir:
+        # resumable builds run the pure level-synchronous path: every level
+        # is a durable parquet checkpoint candidate; the local-finish
+        # shortcut would leave nothing to resume from
+        local_threshold = 0
 
     state = _load_manifest(checkpoint_dir) if checkpoint_dir else None
     split_rows: list[dict] = []
@@ -163,21 +182,48 @@ def lkt_build(
             F.col(x_col).cast(coord_type).alias("x"),
             F.col(y_col).cast(coord_type).alias("y"),
             F.lit(0).cast("long").alias("node"),
-            F.lit(0).cast("long").alias("code"),
-            F.lit(0).cast("long").alias("sk"),
-            F.lit(0).cast("int").alias("path_len"),
         )
 
     pts = pts.persist()
+    last_cached = pts
+    persist_every = int(os.environ.get("SPARK_GRAFT_PERSIST_EVERY", "3"))
     min_split = max(2, leaf_size + 1)
 
     for depth in range(start_depth, max_depth):
+        t_level = time.time()
         axis = "x" if depth % 2 == 0 else "y"
         level_lo = (1 << depth) - 1
         active = pts.filter(F.col("node") >= level_lo)
         stats = _split_stats(active, axis, strategy).collect()
+        t_stats = time.time() - t_level
         for r in stats:
             node_counts[int(r["node"])] = int(r["cnt"])
+
+        if (
+            local_threshold
+            and depth < max_depth - 1
+            and stats
+            and max(r["cnt"] for r in stats) <= local_threshold
+            and any(r["cnt"] >= min_split for r in stats)
+        ):
+            pts, local_split_rows = _local_finish(
+                spark, pts, depth, max_depth, strategy, min_split, coord_type
+            )
+            split_rows.extend(local_split_rows)
+            lineage.append(
+                {
+                    "depth": depth,
+                    "n_active_nodes": len(stats),
+                    "n_split_nodes": -1,  # finished locally from here down
+                    "n_active_points": int(sum(r["cnt"] for r in stats)),
+                    "max_node_points": int(max(r["cnt"] for r in stats)),
+                    "min_node_points": int(min(r["cnt"] for r in stats)),
+                    "local_finish": True,
+                    "stats_sec": round(t_stats, 3),
+                    "level_sec": round(time.time() - t_level, 3),
+                }
+            )
+            break
 
         splittable = []
         for r in stats:
@@ -204,6 +250,7 @@ def lkt_build(
                 "n_active_points": int(sum(r["cnt"] for r in stats)),
                 "max_node_points": int(max((r["cnt"] for r in stats), default=0)),
                 "min_node_points": int(min((r["cnt"] for r in stats), default=0)),
+                "stats_sec": round(t_stats, 3),
             }
         )
         if not splittable:
@@ -214,6 +261,9 @@ def lkt_build(
         has = F.col("sv").isNotNull()
         left = F.col(axis).cast("double") < F.col("sv")
         right_bit = F.when(left, F.lit(0)).otherwise(F.lit(1))
+        # only the heap node id is carried through the loop; code / sk /
+        # path_len / sort_key are pure bit transforms of it, derived once
+        # at finalize (functions/morton.py — equality is unit-tested)
         new_pts = joined.select(
             "key",
             "x",
@@ -221,32 +271,39 @@ def lkt_build(
             F.when(has, F.col("node") * 2 + 1 + right_bit)
             .otherwise(F.col("node"))
             .alias("node"),
-            F.when(has & left, F.col("code") + F.lit(1 << depth))
-            .otherwise(F.col("code"))
-            .alias("code"),
-            F.when(has, F.col("sk") * 2 + right_bit).otherwise(F.col("sk")).alias("sk"),
-            F.when(has, F.col("path_len") + 1)
-            .otherwise(F.col("path_len"))
-            .alias("path_len"),
         )
-        prev = pts
         if checkpoint_dir and (depth + 1) % checkpoint_every == 0:
+            prev_cached = last_cached
             pts = _checkpoint_level(
                 spark, new_pts, checkpoint_dir, depth, split_rows, lineage, node_counts
             )
+            last_cached = pts
+            if prev_cached is not None:
+                prev_cached.unpersist()
+        elif (depth + 1) % persist_every == 0:
+            # Caching policy, from measurement at 19.2 M points:
+            # - localCheckpoint every level: ~7× slower than persist
+            #   (per-row copy + serialization per level);
+            # - persist every level: rewriting the full cache costs
+            #   5-20 s/level — it dominated the loop;
+            # - persist every `persist_every` levels: the skipped levels
+            #   recompute ≤ persist_every-1 broadcast-hash joins from the
+            #   last cache — far cheaper than rewriting the cache.
+            prev_cached = last_cached
+            pts = new_pts.persist()
+            last_cached = pts
+            if prev_cached is not None:
+                prev_cached.unpersist()
         else:
-            # lazy localCheckpoint: persists AND truncates the logical plan
-            # (a plain persist leaves d chained joins in the plan → O(d²)
-            # analysis time across the loop); materialized by the next
-            # level's stats action, so still one job per level
-            pts = new_pts.localCheckpoint(eager=False)
-        prev.unpersist()
+            pts = new_pts
 
-    # child counts for split nodes at the deepest level (loop may have
-    # ended at max_depth before their children were ever aggregated)
+    # child counts for distributed split nodes at the deepest level (loop
+    # may have ended at max_depth before their children were aggregated);
+    # local-phase rows already carry exact counts
+    unpatched = [r for r in split_rows if "n_left" not in r]
     missing = [
         r["node_id"]
-        for r in split_rows
+        for r in unpatched
         if 2 * r["node_id"] + 1 not in node_counts
     ]
     if missing:
@@ -257,7 +314,7 @@ def lkt_build(
         for r in extra:
             node_counts[int(r["node"])] = int(r["count"])
 
-    for r in split_rows:
+    for r in unpatched:
         r["n_left"] = node_counts.get(2 * r["node_id"] + 1, 0)
         r["n_right"] = node_counts.get(2 * r["node_id"] + 2, 0)
 
@@ -275,13 +332,18 @@ def lkt_build(
         SPLITS_SCHEMA,
     )
 
-    out = pts.withColumn(
-        "sort_key",
-        (
-            F.col("sk")
-            * F.pow(F.lit(2.0), (F.lit(max_depth) - F.col("path_len")).cast("double")).cast("long")
-        ).cast("long"),
-    ).drop("sk")
+    from linear_kdtree_spark.functions.morton import fast_derived_cols
+
+    plen, code, sort_key = fast_derived_cols(F.col("node"), max_depth)
+    out = pts.select(
+        "key",
+        "x",
+        "y",
+        "node",
+        plen.alias("path_len"),
+        code.alias("code"),
+        sort_key.alias("sort_key"),
+    )
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
     out = out.repartitionByRange(n_parts, "sort_key", "key").sortWithinPartitions(
         "sort_key", "key"
@@ -298,6 +360,106 @@ def lkt_build(
 
 def node_depth_py(node_id: int) -> int:
     return (node_id + 1).bit_length() - 1
+
+
+def _local_finish(
+    spark, pts, depth, max_depth, strategy, min_split, coord_type
+) -> tuple[DataFrame, list[dict]]:
+    """Phase 2 of the hybrid build: every active node's subtree fits in one
+    task → finish each with the serial canonical algorithm
+    (oracle.build_oracle, axis parity shifted by the global depth) inside a
+    single groupBy(node).applyInPandas pass, then remap local heap ids /
+    codes / path ints into the global numbering:
+
+        global_node + 1 = (g + 1) · 2^p  +  local_path_bits
+        code_global     = code_prefix | (code_local << depth)
+        sk_global       = sk_prefix · 2^p + sk_local
+    """
+    import numpy as np
+    import pandas as pd
+
+    from linear_kdtree_spark.oracle import build_oracle
+
+    level_lo = (1 << depth) - 1
+    active = pts.filter(F.col("node") >= level_lo)
+    done = pts.filter(F.col("node") < level_lo)
+    local_strategy = "median" if strategy == "median_approx" else strategy
+    dtype = np.float32 if coord_type == "float" else np.float64
+    out_schema = (
+        f"kind int, key long, x {coord_type}, y {coord_type}, node long, "
+        "sdepth int, axis int, value double, n_left long, n_right long"
+    )
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = int(pdf["node"].iloc[0])
+        res = build_oracle(
+            pdf["x"].to_numpy(),
+            pdf["y"].to_numpy(),
+            max_depth=max_depth - depth,
+            strategy=local_strategy,
+            depth_offset=depth,
+            min_split=min_split,
+            coord_dtype=dtype,
+        )
+        p = res.path_len
+        two_p = np.int64(1) << p
+        points = pd.DataFrame(
+            {
+                "kind": np.int32(0),
+                "key": pdf["key"].to_numpy(),
+                "x": pdf["x"].to_numpy(),
+                "y": pdf["y"].to_numpy(),
+                "node": (g + 1) * two_p + (res.node + 1 - two_p) - 1,
+                "sdepth": np.int32(-1),
+                "axis": np.int32(-1),
+                "value": np.float64(0.0),
+                "n_left": np.int64(-1),
+                "n_right": np.int64(-1),
+            }
+        )
+        srows = []
+        for nid, s in res.splits.items():
+            ps = (nid + 1).bit_length() - 1
+            srows.append(
+                {
+                    "kind": 1,
+                    "key": -1,
+                    "x": 0.0,
+                    "y": 0.0,
+                    "node": ((g + 1) << ps) + (nid + 1 - (1 << ps)) - 1,
+                    "sdepth": depth + s.depth,
+                    "axis": s.axis,
+                    "value": float(s.value),
+                    "n_left": s.n_left,
+                    "n_right": s.n_right,
+                }
+            )
+        if srows:
+            points = pd.concat([points, pd.DataFrame(srows)], ignore_index=True)
+        return points
+
+    res = active.groupBy("node").applyInPandas(finish, out_schema).persist()
+    point_cols = ["key", "x", "y", "node"]
+    new_pts = (
+        done.select(point_cols)
+        .unionByName(res.filter(F.col("kind") == 0).select(point_cols))
+        .persist()
+    )
+    local_split_rows = [
+        {
+            "node_id": int(r["node"]),
+            "depth": int(r["sdepth"]),
+            "axis": int(r["axis"]),
+            "value": float(r["value"]),
+            "n_left": int(r["n_left"]),
+            "n_right": int(r["n_right"]),
+        }
+        for r in res.filter(F.col("kind") == 1)
+        .select("node", "sdepth", "axis", "value", "n_left", "n_right")
+        .collect()
+    ]
+    res.unpersist()
+    return new_pts, local_split_rows
 
 
 def _checkpoint_level(

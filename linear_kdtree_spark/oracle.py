@@ -49,6 +49,7 @@ class OracleResult:
     node: np.ndarray = None  # final (leaf) heap node id per point
     path_len: np.ndarray = None
     code: np.ndarray = None  # reference-faithful tree-path code (uint32 range)
+    sk: np.ndarray = None  # unpadded MSB-first path int (0 = left)
     sort_key: np.ndarray = None  # monotone transform, kd physical order
     max_depth: int = MAX_DEPTH
 
@@ -79,11 +80,20 @@ def build_oracle(
     y: np.ndarray,
     max_depth: int = MAX_DEPTH,
     strategy: str = "mean",
+    depth_offset: int = 0,
+    min_split: int = 2,
+    coord_dtype=np.float32,
 ) -> OracleResult:
-    """Level-synchronous serial build over float32 coordinate arrays."""
+    """Level-synchronous serial build over coordinate arrays.
+
+    ``depth_offset`` shifts the axis parity — used when building a SUBTREE
+    rooted at global depth ``depth_offset`` (the local phase of the hybrid
+    distributed build). ``min_split`` = minimum node size that still splits
+    (leaf_size + 1). ``coord_dtype`` mirrors the engine's coord_type.
+    """
     n = len(x)
-    x = np.asarray(x, dtype=np.float32)
-    y = np.asarray(y, dtype=np.float32)
+    x = np.asarray(x, dtype=coord_dtype)
+    y = np.asarray(y, dtype=coord_dtype)
     node = np.zeros(n, dtype=np.int64)
     path_len = np.zeros(n, dtype=np.int64)
     code = np.zeros(n, dtype=np.int64)
@@ -92,38 +102,40 @@ def build_oracle(
     splits: dict[int, OracleSplit] = {}
 
     for depth in range(max_depth):
-        axis_vals = x if depth % 2 == 0 else y
-        active = ~stopped
-        if not active.any():
+        axis_vals = x if (depth + depth_offset) % 2 == 0 else y
+        active_idx = np.flatnonzero(~stopped)
+        if len(active_idx) == 0:
             break
-        for nid in np.unique(node[active]):
-            mask = active & (node == nid)
-            vals = axis_vals[mask]
-            if len(vals) < 2:
-                stopped[mask] = True
+        # group active points by node via one sort (O(n log n) per level,
+        # not O(n × nodes))
+        order = active_idx[np.argsort(node[active_idx], kind="stable")]
+        nodes_sorted = node[order]
+        bounds = np.flatnonzero(np.diff(nodes_sorted)) + 1
+        for grp in np.split(order, bounds):
+            nid = int(node[grp[0]])
+            vals = axis_vals[grp]
+            if len(vals) < min_split:
+                stopped[grp] = True
                 continue
             sv = split_value(vals, strategy)
-            left = axis_vals[mask] < sv
+            left = vals < sv
             n_left = int(left.sum())
             if n_left == 0 or n_left == len(vals):  # degenerate — one side
-                stopped[mask] = True  # empty (reference nocuda.cpp:97-100)
+                stopped[grp] = True  # empty (reference nocuda.cpp:97-100)
                 continue
-            splits[int(nid)] = OracleSplit(
-                node_id=int(nid),
+            splits[nid] = OracleSplit(
+                node_id=nid,
                 depth=depth,
-                axis=depth % 2,
+                axis=(depth + depth_offset) % 2,
                 value=sv,
                 n_left=n_left,
                 n_right=len(vals) - n_left,
             )
-            idx = np.flatnonzero(mask)
-            went_left = np.zeros(n, dtype=bool)
-            went_left[idx[left]] = True
-            sub = idx
-            code[sub] |= went_left[sub].astype(np.int64) << depth
-            sk[sub] = sk[sub] * 2 + (~went_left[sub]).astype(np.int64)
-            node[sub] = 2 * node[sub] + 1 + (~went_left[sub]).astype(np.int64)
-            path_len[sub] += 1
+            right_bit = (~left).astype(np.int64)
+            code[grp] |= left.astype(np.int64) << depth
+            sk[grp] = sk[grp] * 2 + right_bit
+            node[grp] = 2 * node[grp] + 1 + right_bit
+            path_len[grp] += 1
 
     for nid, s in splits.items():
         if 2 * nid + 1 in splits:
@@ -137,6 +149,7 @@ def build_oracle(
         node=node,
         path_len=path_len,
         code=code,
+        sk=sk,
         sort_key=sort_key,
         max_depth=max_depth,
     )

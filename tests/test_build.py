@@ -56,13 +56,23 @@ def test_build_f3_exact(spark):
         assert r["path_len"] == 3
 
 
-@pytest.mark.parametrize("strategy", ["median", "mean"])
-def test_build_matches_oracle(spark, random_points, strategy):
+@pytest.mark.parametrize(
+    ("strategy", "local_threshold"),
+    [
+        ("median", 0),      # pure level-synchronous distributed path
+        ("mean", 700),      # hybrid: ~3 distributed levels, then local
+        ("median", 700),    # hybrid with bit-exact median splits
+    ],
+)
+def test_build_matches_oracle(spark, random_points, strategy, local_threshold):
     keys, x, y = random_points
     max_depth = 10
     oracle = build_oracle(x, y, max_depth=max_depth, strategy=strategy)
     idx = lkt_build(
-        _points_df(spark, keys, x, y), max_depth=max_depth, strategy=strategy
+        _points_df(spark, keys, x, y),
+        max_depth=max_depth,
+        strategy=strategy,
+        local_threshold=local_threshold,
     )
 
     # splits: node-for-node
@@ -106,6 +116,35 @@ def test_label_udf_matches_build(spark, random_points):
     )
     bad = joined.filter(~(F.col("code_ok") & F.col("node_ok") & F.col("sk_ok"))).count()
     assert bad == 0
+
+
+def test_fast_derived_cols_equal_reference_exprs(spark):
+    """Branch-free bit-trick derivations == didactic per-bit expressions for
+    every node id up to depth 32."""
+    from linear_kdtree_spark.functions.morton import fast_derived_cols
+
+    nodes = list(range(0, 4096)) + [(1 << d) - 1 for d in range(1, 33)] + [
+        (1 << 32) - 2, (1 << 33) - 2,
+    ]
+    df = spark.createDataFrame([(n,) for n in nodes], "node long")
+    for md in (8, 32):
+        ok_nodes = [n for n in nodes if (n + 2).bit_length() - 1 <= md]
+        sub = df.filter(F.col("node").isin(ok_nodes))
+        plen, code, sk = fast_derived_cols(F.col("node"), md)
+        out = sub.select(
+            plen.alias("p2"),
+            code.alias("c2"),
+            sk.alias("s2"),
+            path_len_from_node(F.col("node"), md).alias("p1"),
+            code_from_node(F.col("node"), md).alias("c1"),
+            sort_key_from_node(F.col("node"), md).alias("s1"),
+        )
+        bad = out.filter(
+            (F.col("p1") != F.col("p2"))
+            | (F.col("c1") != F.col("c2"))
+            | (F.col("s1") != F.col("s2"))
+        ).count()
+        assert bad == 0, md
 
 
 def test_node_transform_exprs(spark, random_points):

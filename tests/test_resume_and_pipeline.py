@@ -42,7 +42,7 @@ def _snapshot(idx):
 
 def test_resume_identical_to_uninterrupted(spark, tmp_path):
     pts = _pts(spark)
-    full = lkt_build(pts, max_depth=6, strategy="mean")
+    full = lkt_build(pts, max_depth=6, strategy="mean", local_threshold=0)
 
     ckpt = str(tmp_path / "ckpt")
     os.makedirs(ckpt)
