@@ -84,6 +84,47 @@ FROM documents
 """.strip()
 
 
+# ------------------------------------------------------------ quality score
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linear_kdtree_spark.functions.text import (
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+    )
+
+    load_views(spark, sf_dir, ("documents",))
+    t = F.col("text")
+    return spark.table("documents").select(
+        "doc_id",
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+    )
+
+
+def quality_oracle_sql() -> str:
+    markers = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+    marker_list = ", ".join(f"'{w}'" for w in markers)
+    ntok = f"len({TOKENS_DUCK})"
+    hits = f"len(list_filter({TOKENS_DUCK}, t -> t IN ({marker_list})))"
+    pr = (
+        "CASE WHEN length(text) > 0 THEN "
+        "CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)"
+        " / length(text) ELSE 0.0 END"
+    )
+    sr = f"CASE WHEN {ntok} > 0 THEN CAST({hits} AS DOUBLE) / {ntok} ELSE 0.0 END"
+    q = (
+        f"(CASE WHEN {ntok} >= 5 AND {ntok} <= 100000 THEN 1.0 ELSE 0.0 END"
+        f" + CASE WHEN {pr} < 0.3 THEN 1.0 ELSE 0.0 END"
+        f" + CASE WHEN {sr} > 0.0 THEN 1.0 ELSE 0.0 END) / 3.0"
+    )
+    return f"""
+SELECT doc_id, {pr} AS punct_ratio, {sr} AS stopword_ratio, {q} AS quality
+FROM documents
+""".strip()
+
+
 # ------------------------------------------------------------------ lang id
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,7 +308,58 @@ FROM documents
 """.strip()
 
 
-# ----------------------------------------------------------- similarity/ANN
+# ------------------------------------------------------- curation composite
+
+def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: drop exact duplicates (keep canonical),
+    require quality ≥ 2/3 and ≥ 5 tokens — the composed pipeline a
+    training-data run would execute. → (doc_id, lang)."""
+    from linear_kdtree_spark.functions.text import quality_score, token_count
+    from linear_kdtree_spark.operators.dedup import exact_dedup
+
+    docs = _dup_docs(spark, sf_dir)
+    flags = exact_dedup(docs).select("doc_id", "is_duplicate")
+    load_views(spark, sf_dir, ("documents",))
+    full = docs.join(flags, "doc_id").join(
+        spark.table("documents").select(F.col("doc_id").alias("orig_id"), "lang"),
+        F.pmod(F.col("doc_id"), F.lit(1000000)) == F.col("orig_id"),
+    )
+    return (
+        full.filter(~F.col("is_duplicate"))
+        .filter(quality_score(F.col("text")) >= 0.66)
+        .filter(token_count(F.col("text")) >= 5)
+        .select("doc_id", "lang")
+    )
+
+
+def curation_oracle_sql() -> str:
+    markers = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+    marker_list = ", ".join(f"'{w}'" for w in markers)
+    ntok = f"len({TOKENS_DUCK})"
+    hits = f"len(list_filter({TOKENS_DUCK}, t -> t IN ({marker_list})))"
+    pr = (
+        "CASE WHEN length(text) > 0 THEN "
+        "CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)"
+        " / length(text) ELSE 0.0 END"
+    )
+    sr = f"CASE WHEN {ntok} > 0 THEN CAST({hits} AS DOUBLE) / {ntok} ELSE 0.0 END"
+    q = (
+        f"(CASE WHEN {ntok} >= 5 AND {ntok} <= 100000 THEN 1.0 ELSE 0.0 END"
+        f" + CASE WHEN {pr} < 0.3 THEN 1.0 ELSE 0.0 END"
+        f" + CASE WHEN {sr} > 0.0 THEN 1.0 ELSE 0.0 END) / 3.0"
+    )
+    return f"""
+WITH d AS ({DUP_DOCS_SQL}),
+flagged AS (
+  SELECT doc_id, text,
+         doc_id != MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+  FROM d),
+kept AS (
+  SELECT doc_id FROM flagged
+  WHERE NOT is_duplicate AND {q} >= 0.66 AND {ntok} >= 5)
+SELECT k.doc_id, o.lang
+FROM kept k JOIN documents o ON k.doc_id % 1000000 = o.doc_id
+""".strip()
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, ("embeddings",))
@@ -357,9 +449,11 @@ SELECT query_id, vec_id, rank FROM r WHERE rank <= {ANN_K}
 def pipeline_queries():
     return {
         "text_stats": q_text_stats,
+        "quality": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
+        "curation": q_curation,
         "ngram_profile": q_ngram_profile,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh": q_minhash_lsh,
@@ -372,9 +466,11 @@ def pipeline_queries():
 def pipeline_oracles():
     return {
         "text_stats": text_stats_oracle_sql(),
+        "quality": quality_oracle_sql(),
         "lang_id": lang_id_oracle_sql(),
         "fingerprint": fingerprint_oracle_sql(),
         "dedup_exact": dedup_exact_oracle_sql(),
+        "curation": curation_oracle_sql(),
         "ngram_profile": ngram_profile_oracle_sql(),
         "jaccard_pairs": jaccard_pairs_oracle_sql(),
         "minhash_lsh": minhash_lsh_oracle_sql(),

@@ -77,6 +77,21 @@ def test_knn_k_larger_than_dataset(spark, index, dataset):
     assert got.count() == len(keys)
 
 
+@pytest.mark.parametrize("k", [1, 50])
+def test_knn_k_variants(spark, index, dataset, k):
+    """FIXTURES.md F5: k=1 and k=50 against the brute-force oracle."""
+    keys, x, y = dataset
+    queries = [(0, 33.3, 66.6), (1, 99.0, 1.0), (2, 50.0, 50.0)]
+    got = {}
+    for r in knn(index, queries, k).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["key"]))
+    xf, yf = x.astype(np.float64), y.astype(np.float64)
+    for qid, qx, qy in queries:
+        d2 = (xf - qx) ** 2 + (yf - qy) ** 2
+        order = np.lexsort((keys, d2))[:k]
+        assert [kk for _, kk in sorted(got[qid])] == [int(keys[i]) for i in order]
+
+
 def test_pip_exact(spark, index, dataset):
     keys, x, y = dataset
     rng = np.random.default_rng(11)
