@@ -219,6 +219,38 @@ def q_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return radius_join(pts, pts, RADIUS, dedup_pairs=True)
 
 
+def q_tile_lkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lkt-NATIVE tile counts (heap ancestor at depth 4 — the index's own
+    data-adaptive H3/S2 analogue). Tree-dependent, so no SQL oracle:
+    rows-only check; exactness of the underlying build is gated by
+    lkt_build_nodes and the pytest oracle suite."""
+    from linear_kdtree_spark.operators.tile import assign_tiles_lkt
+
+    idx = _gate_index(spark, sf_dir)
+    return (
+        assign_tiles_lkt(idx, 4)
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs via sign-LSH buckets + exact cosine
+    refine (threshold 0.95). Bucket replication is not SQL-expressible in
+    the oracle dialect: rows-only check; semantics tested vs the numpy
+    oracle in tests/test_pipeline_ops.py."""
+    from linear_kdtree_spark.operators.similarity import cosine_near_dup_pairs
+
+    load_views(spark, sf_dir, ("embeddings",))
+    vecs = spark.table("embeddings").select("vec_id", "embedding")
+    # inject exact duplicates (every 7th vector) — random gaussians alone
+    # have no ≥0.95-cosine pairs, which would make the check vacuous
+    dups = vecs.filter(F.pmod(F.col("vec_id"), F.lit(7)) == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return cosine_near_dup_pairs(vecs.unionByName(dups), threshold=0.95)
+
+
 def q_extract_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex point extraction from deterministic geo-augmented pages →
     (url, ordinal, x, y)."""
@@ -365,6 +397,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_density": q_raster_density,
         "radius_pairs": q_radius_pairs,
         "extract_geo": q_extract_geo,
+        # rows-only (non-SQL-expressible; weaker driver check by design)
+        "tile_lkt": q_tile_lkt,
+        "embed_neardup": q_embed_neardup,
     }
     out.update(pipeline_queries())
     return out
