@@ -134,6 +134,39 @@ def q_lkt_build_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.points.select("key", "node")
 
 
+def q_lkt_build_nodes_f32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """float32 ``ord_t`` parity build (reference lkt.h:13): identical to
+    lkt_build_nodes but with coords quantized to FLOAT before splitting —
+    the oracle CTE quantizes the same way, so any float32-vs-float64 drift
+    in split comparisons flips the hash."""
+    from linear_kdtree_spark.operators.build import lkt_build
+
+    idx = lkt_build(
+        points_df(spark, sf_dir),
+        max_depth=BUILD_DEPTH,
+        strategy="mean",
+        coord_type="float",
+        local_threshold=0,
+    )
+    return idx.points.select("key", "node")
+
+
+def q_lkt_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-faithful per-point tree-path code (bit = 1 ⇔ went left,
+    LSB-first — lkt.cpp:140-157) plus the monotone sort_key transform
+    (SURVEY.md §1.3), both pinned to the driver hash check."""
+    from linear_kdtree_spark.operators.build import lkt_build
+
+    idx = lkt_build(
+        points_df(spark, sf_dir),
+        max_depth=BUILD_DEPTH,
+        strategy="mean",
+        coord_type="double",
+        local_threshold=0,
+    )
+    return idx.points.select("key", "code", "sort_key")
+
+
 _INDEX_CACHE: dict = {}
 
 
@@ -219,26 +252,40 @@ def q_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return radius_join(pts, pts, RADIUS, dedup_pairs=True)
 
 
+TILE_LKT_BUILD_DEPTH = 6
+TILE_LKT_DEPTH = 4
+
+
 def q_tile_lkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lkt-NATIVE tile counts (heap ancestor at depth 4 — the index's own
-    data-adaptive H3/S2 analogue). Tree-dependent, so no SQL oracle:
-    rows-only check; exactness of the underlying build is gated by
-    lkt_build_nodes and the pytest oracle suite."""
+    data-adaptive H3/S2 analogue) over a depth-6 level-sync build. Gated
+    hash-exact: the DuckDB oracle unrolls the same 6 build levels and takes
+    the ancestor-at-depth-4 of each point's heap node."""
+    from linear_kdtree_spark.operators.build import lkt_build
     from linear_kdtree_spark.operators.tile import assign_tiles_lkt
 
-    idx = _gate_index(spark, sf_dir)
+    idx = lkt_build(
+        points_df(spark, sf_dir),
+        max_depth=TILE_LKT_BUILD_DEPTH,
+        strategy="mean",
+        coord_type="double",
+        local_threshold=0,
+    )
     return (
-        assign_tiles_lkt(idx, 4)
+        assign_tiles_lkt(idx, TILE_LKT_DEPTH)
         .groupBy("tile")
         .agg(F.count(F.lit(1)).alias("n_points"))
     )
 
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs via sign-LSH buckets + exact cosine
-    refine (threshold 0.95). Bucket replication is not SQL-expressible in
-    the oracle dialect: rows-only check; semantics tested vs the numpy
-    oracle in tests/test_pipeline_ops.py."""
+    """Embedding near-duplicate pairs via banded sign-LSH + exact cosine
+    refine (threshold 0.95). Gated hash-exact against a brute-force
+    cosine cross-join oracle: the injected positives are exact duplicates
+    (identical vectors collide in every band → deterministic recall 1.0),
+    and the refine removes every sub-threshold candidate, so engine ≡
+    brute force. Probabilistic recall on near-but-not-identical pairs is
+    covered by tests/test_pipeline_ops.py::test_near_dup_recall."""
     from linear_kdtree_spark.operators.similarity import cosine_near_dup_pairs
 
     load_views(spark, sf_dir, ("embeddings",))
@@ -270,22 +317,105 @@ def _points_cte() -> str:
     return f"pts AS ({POINTS_SQL})"
 
 
-def build_nodes_oracle_sql(depth: int = BUILD_DEPTH) -> str:
-    sql = f"WITH {_points_cte()},\nlvl0 AS (SELECT key, x, y, CAST(0 AS BIGINT) AS node FROM pts)"
+def _build_cte(depth: int, f32: bool = False) -> str:
+    """Unrolled level-synchronous build as a CTE chain ending at
+    ``lvl{depth}`` with columns (key, x, y, node, code) — the independent
+    DuckDB twin of operators/build.py's distributed loop. ``f32`` quantizes
+    coords to FLOAT first (reference ``ord_t``, lkt.h:13). The ``code``
+    column accumulates the reference tree-path code: bit d = 1 ⇔ went left
+    at depth d, LSB-first (lkt.cpp:149-150)."""
+    src = (
+        "SELECT key, CAST(x AS FLOAT) AS x, CAST(y AS FLOAT) AS y FROM pts"
+        if f32
+        else "SELECT key, x, y FROM pts"
+    )
+    sql = (
+        f"WITH {_points_cte()},\n"
+        f"src AS ({src}),\n"
+        "lvl0 AS (SELECT key, x, y, CAST(0 AS BIGINT) AS node,"
+        " CAST(0 AS BIGINT) AS code FROM src)"
+    )
     for d in range(depth):
         ax = "x" if d % 2 == 0 else "y"
         lo = (1 << d) - 1
+        split = (
+            f"s.snode IS NOT NULL AND s.c >= 2 AND s.sv > s.mn AND s.sv <= s.mx"
+        )
         sql += f""",
 s{d} AS (SELECT node AS snode, AVG({ax}) AS sv, COUNT(*) AS c,
                 MIN({ax}) AS mn, MAX({ax}) AS mx
          FROM lvl{d} WHERE node >= {lo} GROUP BY node),
 lvl{d + 1} AS (SELECT p.key, p.x, p.y,
-  CASE WHEN s.snode IS NOT NULL AND s.c >= 2 AND s.sv > s.mn AND s.sv <= s.mx
+  CASE WHEN {split}
        THEN CASE WHEN p.{ax} < s.sv THEN p.node * 2 + 1 ELSE p.node * 2 + 2 END
-       ELSE p.node END AS node
+       ELSE p.node END AS node,
+  CASE WHEN {split} AND p.{ax} < s.sv
+       THEN p.code + {1 << d} ELSE p.code END AS code
   FROM lvl{d} p LEFT JOIN s{d} s ON p.node = s.snode)"""
-    sql += f"\nSELECT key, node FROM lvl{depth}"
     return sql
+
+
+def _node_depth_case(depth: int, col: str = "node") -> str:
+    """SQL depth of a heap node id (≤ ``depth``): piecewise on level lows."""
+    branches = " ".join(
+        f"WHEN {col} >= {(1 << d) - 1} THEN {d}" for d in range(depth, 0, -1)
+    )
+    return f"(CASE {branches} ELSE 0 END)"
+
+
+def build_nodes_oracle_sql(depth: int = BUILD_DEPTH, f32: bool = False) -> str:
+    return _build_cte(depth, f32) + f"\nSELECT key, node FROM lvl{depth}"
+
+
+def build_codes_oracle_sql(depth: int = BUILD_DEPTH) -> str:
+    """(key, code, sort_key): sort_key = (node+1)·2^(depth−L) − 2^depth —
+    the MSB-first 0=left monotone transform (SURVEY.md §1.3); exact in
+    doubles for these tiny powers."""
+    dep = _node_depth_case(depth)
+    sk = (
+        f"CAST((node + 1) * CAST(POWER(2, {depth} - {dep}) AS BIGINT)"
+        f" - {1 << depth} AS BIGINT)"
+    )
+    return (
+        _build_cte(depth)
+        + f"\nSELECT key, code, {sk} AS sort_key FROM lvl{depth}"
+    )
+
+
+def tile_lkt_oracle_sql(
+    build_depth: int = TILE_LKT_BUILD_DEPTH, tile_depth: int = TILE_LKT_DEPTH
+) -> str:
+    """Ancestor-at-depth tile of each point's heap node: strip (L − d)
+    levels via (node+1) >> (L−d), nodes at depth ≤ d are their own tile."""
+    dep = _node_depth_case(build_depth)
+    branches = " ".join(
+        f"WHEN {dep} = {level} THEN "
+        f"CAST(FLOOR((node + 1) / {float(1 << (level - tile_depth))!r}) AS BIGINT) - 1"
+        for level in range(build_depth, tile_depth, -1)
+    )
+    tile = f"(CASE {branches} ELSE node END)"
+    return (
+        _build_cte(build_depth)
+        + f"""
+, tiles AS (SELECT key, {tile} AS tile FROM lvl{build_depth})
+SELECT tile, COUNT(*) AS n_points FROM tiles GROUP BY tile"""
+    )
+
+
+def embed_neardup_oracle_sql(threshold: float = 0.95) -> str:
+    """Brute-force cosine cross-join over the same dup-injected table —
+    tractable at gate scale; independent of the LSH bucketing."""
+    return f"""
+WITH d AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id % 7 = 0
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id
+FROM d a JOIN d b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {threshold!r}
+""".strip()
 
 
 def knn_oracle_sql(k: int = KNN_K) -> str:
@@ -391,13 +521,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {
         "points_derivation": q_points,
         "lkt_build_nodes": q_lkt_build_nodes,
+        "lkt_build_nodes_f32": q_lkt_build_nodes_f32,
+        "lkt_codes": q_lkt_codes,
         "knn": q_knn,
         "pip_rect": q_pip_rect,
         "tile_morton": q_tile_morton,
         "raster_density": q_raster_density,
         "radius_pairs": q_radius_pairs,
         "extract_geo": q_extract_geo,
-        # rows-only (non-SQL-expressible; weaker driver check by design)
         "tile_lkt": q_tile_lkt,
         "embed_neardup": q_embed_neardup,
     }
@@ -411,12 +542,16 @@ def oracle_sql() -> dict[str, str]:
     out = {
         "points_derivation": POINTS_SQL,
         "lkt_build_nodes": build_nodes_oracle_sql(),
+        "lkt_build_nodes_f32": build_nodes_oracle_sql(f32=True),
+        "lkt_codes": build_codes_oracle_sql(),
         "knn": knn_oracle_sql(),
         "pip_rect": pip_rect_oracle_sql(),
         "tile_morton": tile_oracle_sql(),
         "raster_density": raster_oracle_sql(),
         "radius_pairs": radius_oracle_sql(),
         "extract_geo": extract_geo_oracle_sql(),
+        "tile_lkt": tile_lkt_oracle_sql(),
+        "embed_neardup": embed_neardup_oracle_sql(),
     }
     out.update(pipeline_oracles())
     return out

@@ -165,12 +165,15 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def fingerprint_oracle_sql() -> str:
+    # CAST AS BIGINT is load-bearing: DuckDB list_sum yields HUGEINT, which
+    # pandas materializes as float64 and the driver's value-hash then sees
+    # 1.23e8 vs the engine's int64 123000000 (round-1 hash-fail root cause)
     return f"""
 SELECT doc_id,
-  COALESCE(list_sum(list_transform(
+  CAST(COALESCE(list_sum(list_transform(
     generate_series(1, greatest(length(text), 1)),
     i -> (ascii(substr(text, CAST(i AS INTEGER), 1)) * ((i * 2654435761) % {FP_MOD})) % {FP_MOD}
-  )), 0) % {FP_MOD} AS fingerprint
+  )), 0) % {FP_MOD} AS BIGINT) AS fingerprint
 FROM documents
 """.strip()
 
@@ -406,8 +409,13 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_ivf_oracle_sql(n_total: int | None = None) -> str:
     # stride must equal the engine's vectors.count() // n_cells; expressed
-    # as a scalar subquery so the oracle adapts to the sf dir
-    stride = f"(SELECT GREATEST(CAST(COUNT(*) / {IVF_CELLS} AS BIGINT), 1) FROM embeddings)"
+    # as a scalar subquery so the oracle adapts to the sf dir. FLOOR before
+    # CAST: DuckDB '/' on integers yields DOUBLE and a bare CAST rounds
+    # half-to-even, while the engine floors (count // n_cells)
+    stride = (
+        f"(SELECT GREATEST(CAST(FLOOR(COUNT(*) / {float(IVF_CELLS)!r}) AS BIGINT), 1)"
+        " FROM embeddings)"
+    )
     return f"""
 WITH cents AS (
   SELECT CAST(vec_id / {stride} AS BIGINT) AS cell, embedding AS ce

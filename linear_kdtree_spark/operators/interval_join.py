@@ -47,13 +47,18 @@ def interval_join(
     intervals: list of tuples whose LAST TWO fields are (lo, hi) half-open
     sort_key bounds; interval_schema describes the full tuple, e.g.
     ``"poly_id long, lo long, hi long"``. Returns points columns + interval
-    columns (minus lo/hi helper buckets)."""
+    columns minus the lo/hi/bucket helpers (callers that need the bounds
+    carry them as extra leading fields, e.g. kNN's r2)."""
     spark = points.sparkSession
     if not intervals:
         schema = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in points.schema.fields
         )
-        return spark.createDataFrame([], schema + ", " + interval_schema)
+        # strip the trailing "lo long, hi long" — the joined path drops them
+        extra = ", ".join(s.strip() for s in interval_schema.split(",")[:-2])
+        return spark.createDataFrame(
+            [], schema + (", " + extra if extra else "")
+        )
     shift = choose_shift(intervals, max_depth)
     rows = []
     for tup in intervals:
@@ -68,4 +73,4 @@ def interval_join(
     joined = pts.join(F.broadcast(ivals), "bucket").filter(
         (F.col(key_col) >= F.col("lo")) & (F.col(key_col) < F.col("hi"))
     )
-    return joined.drop("bucket")
+    return joined.drop("bucket", "lo", "hi")

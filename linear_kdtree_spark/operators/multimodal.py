@@ -117,7 +117,11 @@ def sample_frames(
     expression, no Python."""
     p = F.col(payload_col)
     n_frames = F.floor(F.length(p) / frame_size).cast("int")
-    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
+    # payloads shorter than one complete frame must yield NO rows — a bare
+    # sequence(0, greatest(n-1, 0)) still emits frame_no=0 (truncated bytes)
+    idx = F.when(
+        n_frames > 0, F.sequence(F.lit(0), n_frames - 1)
+    ).otherwise(F.array().cast("array<int>"))
     sampled = F.filter(idx, lambda i: i % every_nth == 0)
     # keep the ORIGINAL frame index alongside the bytes (posexplode would
     # renumber positions within the sampled array)

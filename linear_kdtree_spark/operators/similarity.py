@@ -15,6 +15,8 @@ a partition-pruned scan.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -152,51 +154,81 @@ def ivf_topk_cosine(
     )
 
 
+def make_band_sigs_udf(bands: int, planes_per_band: int):
+    """Arrow-batched sign-LSH band signatures: one BLAS matmul per batch
+    against ``bands · planes_per_band`` deterministic pseudo-hyperplanes
+    (component for global plane p, dim i:
+    ((i + p·131)·2654435761 mod 10007)/10007 − 0.5 — band 0 reproduces the
+    round-1 single-band signature). Returns ``array<long>`` of one packed
+    sign word per band."""
+    r = planes_per_band
+    total = bands * r
+
+    @F.pandas_udf("array<long>")
+    def band_sigs(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(emb.to_numpy()).astype(np.float64)
+        d = V.shape[1]
+        p_idx = np.arange(total, dtype=np.int64)[:, None]
+        i_idx = np.arange(d, dtype=np.int64)[None, :]
+        W = (((i_idx + p_idx * 131) * 2654435761) % 10007) / 10007.0 - 0.5
+        bits = (V @ W.T >= 0).astype(np.int64)  # n × total
+        weights = np.int64(1) << np.arange(r, dtype=np.int64)
+        sigs = bits.reshape(len(V), bands, r) @ weights  # n × bands
+        return pd.Series(list(sigs))
+
+    return band_sigs
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
     n_planes: int = 8,
+    bands: int = 8,
     vec_id: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding near-duplicate pairs (a < b, cosine ≥ threshold) via
-    random-hyperplane sign LSH: bucket = sign bits against n_planes
-    deterministic pseudo-hyperplanes (unit-ish vectors from an integer
-    hash of (plane, dim)); exact cosine refine within buckets. High
-    thresholds ⇒ high bucket-collision recall."""
-    dim_count = F.size(F.col(vec_col))
-    sig = F.lit(0).cast("long")
-    for p in range(n_planes):
-        # pseudo-random plane component for (p, i): in [-0.5, 0.5)
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.sequence(F.lit(0), dim_count - 1),
-                lambda v, i: v.cast("double")
-                * (
-                    F.pmod((i + F.lit(p * 131)) * F.lit(2654435761), F.lit(10007))
-                    / F.lit(10007.0)
-                    - 0.5
-                ),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    banded random-hyperplane sign LSH (OR-construction, mirroring the
+    MinHash banding in operators/dedup.py): ``bands`` independent
+    ``n_planes``-bit sign signatures; candidate pairs = union of per-band
+    bucket collisions; exact cosine refine.
+
+    Recall for a pair at angle θ: 1 − (1 − (1 − θ/π)^n_planes)^bands — at
+    cosine 0.95 (θ ≈ 18°) with the 8×8 default this is ≈ 0.99, vs ≈ 0.43
+    for a single band (the round-1 recall bug). Scale shape: candidates are
+    bucket-join rows (never all pairs); signature computation is one
+    matmul per Arrow batch."""
+    sigs_udf = make_band_sigs_udf(bands, n_planes)
+    bucketed = (
+        vectors.select(vec_id, vec_col)
+        .withColumn("sigs", sigs_udf(F.col(vec_col)))
+        .select(
+            vec_id, vec_col, F.posexplode("sigs").alias("band", "bucket")
         )
-        sig = sig + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    bucketed = vectors.select(vec_id, vec_col, sig.alias("bucket"))
+    )
     a = bucketed.select(
-        F.col("bucket"), F.col(vec_id).alias("a_id"), F.col(vec_col).alias("a_v")
+        "band", "bucket", F.col(vec_id).alias("a_id")
     )
     b = bucketed.select(
-        F.col("bucket"), F.col(vec_id).alias("b_id"), F.col(vec_col).alias("b_v")
+        "band", "bucket", F.col(vec_id).alias("b_id")
     )
-    return (
-        a.join(b, "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select(
-            "a_id", "b_id", cosine(F.col("a_v"), F.col("b_v")).alias("cos")
-        )
-        .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id")
         .distinct()
+    )
+    va = vectors.select(
+        F.col(vec_id).alias("a_id"), F.col(vec_col).alias("a_v")
+    )
+    vb = vectors.select(
+        F.col(vec_id).alias("b_id"), F.col(vec_col).alias("b_v")
+    )
+    return (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .filter(cosine(F.col("a_v"), F.col("b_v")) >= threshold)
+        .select("a_id", "b_id")
     )

@@ -55,10 +55,11 @@ class TableCatalog:
         manifest = {"current_snapshot": snap_id, "format": "parquet"}
         prev = self._read_manifest(name)
         history = (prev or {}).get("snapshots", [])
-        if mode == "overwrite" or not history:
-            manifest["snapshots"] = history + [
-                {"id": snap_id, "path": data_path, "schema": df.schema.json()}
-            ]
+        # the manifest must always carry the full snapshot history — mode
+        # only controls how the DATA write behaves, not snapshot tracking
+        manifest["snapshots"] = history + [
+            {"id": snap_id, "path": data_path, "schema": df.schema.json()}
+        ]
         os.makedirs(path, exist_ok=True)
         tmp = self._manifest_path(name) + ".tmp"
         with open(tmp, "w") as f:

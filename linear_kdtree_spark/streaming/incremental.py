@@ -56,7 +56,9 @@ class StreamingIndexer:
             return
         self.batches_seen += 1
         self.total_rows += n
-        if self.index is None or self.batches_seen % self.rebuild_every == 1:
+        # (batches_seen - 1) % rebuild_every: `% n == 1` never fires for
+        # rebuild_every=1 (x % 1 is always 0)
+        if self.index is None or (self.batches_seen - 1) % self.rebuild_every == 0:
             seen = spark.read.parquet(self.out_path) if self.batches_seen > 1 else None
             base = (
                 batch_df.select("key", "x", "y")

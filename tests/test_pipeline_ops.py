@@ -241,6 +241,51 @@ def test_ivf_recall_and_near_dup(spark, vectors):
     assert (0, 100) in dups
 
 
+def test_near_dup_recall(spark):
+    """Banded sign-LSH must find NEAR-but-not-identical pairs (the round-1
+    single-band version silently missed ~57 % of them): every 7th vector
+    gets an ε-noised copy (cosine ≈ 0.97-0.999, never exactly 1), and the
+    engine's pair set is held to recall ≥ 0.95 / precision 1.0 against the
+    brute-force numpy oracle."""
+    from linear_kdtree_spark.operators.similarity import cosine_near_dup_pairs
+
+    rng = np.random.default_rng(11)
+    n, d = 140, 16
+    v = rng.normal(size=(n, d)).astype(np.float64)
+    extra = []
+    for i in range(0, n, 7):
+        noisy = v[i] + rng.normal(scale=0.08 * np.linalg.norm(v[i]) / np.sqrt(d),
+                                  size=d)
+        extra.append((1000 + i, noisy))
+    allv = np.vstack([v] + [e[1] for e in extra])
+    ids = np.concatenate([np.arange(n), [e[0] for e in extra]])
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": ids, "embedding": list(allv.astype(np.float32))})
+    )
+    got = {(r["a_id"], r["b_id"])
+           for r in cosine_near_dup_pairs(df, threshold=0.95).collect()}
+
+    vn = allv / np.linalg.norm(allv, axis=1, keepdims=True)
+    sims = vn @ vn.T
+    expect = set()
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            if sims[a, b] >= 0.95:
+                pair = tuple(sorted((int(ids[a]), int(ids[b]))))
+                expect.add(pair)
+    assert expect, "fixture must contain true near-dup pairs"
+    # sanity: the injected pairs are near-dups but NOT identical
+    assert all(sims[a, b] < 0.99999
+               for a in range(n) for b in range(n, len(ids))
+               if int(ids[b]) == 1000 + a)
+    recall = len(got & expect) / len(expect)
+    assert recall >= 0.95, (recall, expect - got)
+    # precision is deterministic 1.0: the exact-cosine refine drops every
+    # sub-threshold candidate (float32-vs-float64 boundary pairs excepted —
+    # none in this fixture by construction)
+    assert got <= expect, got - expect
+
+
 def test_multimodal_plumbing(spark):
     from linear_kdtree_spark.operators.multimodal import (
         attach_media_metadata, decode_image, extract_image_features, sample_frames,

@@ -39,7 +39,19 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c].to_numpy(), b[c].to_numpy()
-            if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            # STRICT dtype-kind check: the driver's value-hash distinguishes
+            # int64 123 from float64 123.0 (round-1 fingerprint failure mode
+            # — DuckDB HUGEINT → pandas float64). Casting both sides to
+            # float64 here would mask exactly that class of mismatch.
+            a_f = np.issubdtype(av.dtype, np.floating)
+            b_f = np.issubdtype(bv.dtype, np.floating)
+            if a_f != b_f:
+                problems.append(
+                    f"dtype kind mismatch in col {c}: {av.dtype} vs {bv.dtype} "
+                    "(driver hash would fail)"
+                )
+                continue
+            if a_f:
                 eq = np.array_equal(
                     av.astype(np.float64), bv.astype(np.float64), equal_nan=True
                 )
