@@ -86,15 +86,21 @@ class LktIndex:
 
 
 def _split_stats(active: DataFrame, axis: str, strategy: str) -> DataFrame:
-    """Per-node (split value, count, min, max) for one level — the
-    distributed replacement of the reference's systematic-sample split
-    heuristic (``lkt_find_splitpoint_x/_y``, nocuda.cpp:27-48)."""
+    """Per-node (split value, count, min/max on BOTH axes) for one level —
+    the distributed replacement of the reference's systematic-sample split
+    heuristic (``lkt_find_splitpoint_x/_y``, nocuda.cpp:27-48). The
+    off-axis min/max (mn2/mx2) ride along in the same map-side-combined
+    shuffle and give every node an exact data bbox, which the kNN planner
+    uses to bound the k-th distance without any data scan."""
+    other = "y" if axis == "x" else "x"
     if strategy == "mean":
         return active.groupBy("node").agg(
             F.avg(axis).alias("sv"),
             F.count(F.lit(1)).alias("cnt"),
             F.min(axis).alias("mn"),
             F.max(axis).alias("mx"),
+            F.min(other).alias("mn2"),
+            F.max(other).alias("mx2"),
         )
     if strategy == "median":
         # canonical discrete upper median sorted[n // 2] — an actual data
@@ -102,14 +108,17 @@ def _split_stats(active: DataFrame, axis: str, strategy: str) -> DataFrame:
         w = Window.partitionBy("node").orderBy(F.col(axis), "key")
         cw = Window.partitionBy("node")
         return (
-            active.select("node", "key", axis)
+            active.select("node", "key", axis, other)
             .withColumn("rn", F.row_number().over(w))
             .withColumn("cnt", F.count(F.lit(1)).over(cw))
             .withColumn("mn", F.min(axis).over(cw))
             .withColumn("mx", F.max(axis).over(cw))
+            .withColumn("mn2", F.min(other).over(cw))
+            .withColumn("mx2", F.max(other).over(cw))
             .filter(F.col("rn") == (F.col("cnt") / 2).cast("long") + 1)
             .select(
-                "node", F.col(axis).cast("double").alias("sv"), "cnt", "mn", "mx"
+                "node", F.col(axis).cast("double").alias("sv"), "cnt",
+                "mn", "mx", "mn2", "mx2",
             )
         )
     if strategy == "median_approx":
@@ -119,6 +128,8 @@ def _split_stats(active: DataFrame, axis: str, strategy: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
             F.min(axis).alias("mn"),
             F.max(axis).alias("mx"),
+            F.min(other).alias("mn2"),
+            F.max(other).alias("mx2"),
         )
     raise ValueError(f"unknown split strategy: {strategy}")
 
@@ -169,11 +180,15 @@ def lkt_build(
     split_rows: list[dict] = []
     lineage: list[dict] = []
     node_counts: dict[int, int] = {}
+    node_bounds: dict[int, tuple] = {}  # node → (xmin, xmax, ymin, ymax)
     start_depth = 0
     if state:
         split_rows = state["split_rows"]
         lineage = state["lineage"]
         node_counts = {int(k): v for k, v in state["node_counts"].items()}
+        node_bounds = {
+            int(k): tuple(v) for k, v in state.get("node_bounds", {}).items()
+        }
         start_depth = state["next_depth"]
         pts = spark.read.parquet(state["points_path"])
     else:
@@ -198,6 +213,12 @@ def lkt_build(
         t_stats = time.time() - t_level
         for r in stats:
             node_counts[int(r["node"])] = int(r["cnt"])
+            xb = ("mn", "mx") if axis == "x" else ("mn2", "mx2")
+            yb = ("mn2", "mx2") if axis == "x" else ("mn", "mx")
+            node_bounds[int(r["node"])] = (
+                float(r[xb[0]]), float(r[xb[1]]),
+                float(r[yb[0]]), float(r[yb[1]]),
+            )
 
         if (
             local_threshold
@@ -275,7 +296,8 @@ def lkt_build(
         if checkpoint_dir and (depth + 1) % checkpoint_every == 0:
             prev_cached = last_cached
             pts = _checkpoint_level(
-                spark, new_pts, checkpoint_dir, depth, split_rows, lineage, node_counts
+                spark, new_pts, checkpoint_dir, depth, split_rows, lineage,
+                node_counts, node_bounds,
             )
             last_cached = pts
             if prev_cached is not None:
@@ -321,6 +343,7 @@ def lkt_build(
     tree = SplitTree.from_rows(split_rows, max_depth=max_depth)
     if not tree.total_points:
         tree.total_points = node_counts.get(0, 0)
+    tree.node_bounds = node_bounds
     splits_df = spark.createDataFrame(
         [
             (
@@ -463,7 +486,8 @@ def _local_finish(
 
 
 def _checkpoint_level(
-    spark, new_pts, checkpoint_dir, depth, split_rows, lineage, node_counts
+    spark, new_pts, checkpoint_dir, depth, split_rows, lineage, node_counts,
+    node_bounds,
 ):
     path = os.path.join(checkpoint_dir, f"level_{depth:02d}")
     new_pts.write.mode("overwrite").parquet(path)
@@ -473,6 +497,7 @@ def _checkpoint_level(
         "split_rows": split_rows,
         "lineage": lineage,
         "node_counts": {str(k): v for k, v in node_counts.items()},
+        "node_bounds": {str(k): list(v) for k, v in node_bounds.items()},
     }
     tmp = os.path.join(checkpoint_dir, "manifest.json.tmp")
     with open(tmp, "w") as f:

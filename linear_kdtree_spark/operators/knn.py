@@ -4,22 +4,27 @@ of workload but ships no query side; semantics follow from the split
 invariant every node establishes: left subtree < value on its axis,
 right ≥ value — reference nocuda.cpp:91-93).
 
-Two-phase exact algorithm, all pruning expressed as ``sort_key`` range
+Single-scan exact algorithm, all pruning expressed as ``sort_key`` range
 predicates (Parquet/Iceberg min-max pruning + partition pruning apply):
 
-  Phase A (bound): each query descends the broadcast tree to its leaf, then
-  walks up to the smallest ancestor holding ≥ k points (driver-side tree
-  walk — the tree is the small dim). One pruned scan over those subtree
-  intervals yields a per-query k-th-distance upper bound r_q.
+  Bound (driver-side, no data scan): each query descends the broadcast
+  tree to its leaf, walks up to the smallest ancestor holding ≥ k points
+  (the seed node), and takes the far corner of the seed's exact data bbox
+  — recorded by the build's own stats shuffle — as an upper bound r_q on
+  the k-th distance: the ≥ k seed points all lie inside that bbox.
 
-  Phase B (cover): every leaf region intersecting circle(q, r_q) is
-  collected into merged sort_key intervals; one more pruned scan + exact
-  distance + per-query top-k window gives the exact answer.
+  Cover (the only data pass): every leaf region intersecting
+  circle(q, r_q) is collected into merged sort_key intervals; one pruned
+  scan + exact distance + per-query top-k window gives the exact answer.
+
+This replaces the round-1 two-scan design (phase A ran a full candidate
+scan + window just to measure the k-th distance, with a driver collect
+between phases) with pure driver arithmetic + ONE scan.
 
 Ties at equal distance break by ascending key (FIXTURES.md F5).
 
 The query side is assumed small relative to the data (broadcastable);
-each scan is a single broadcast range join against the point table —
+the scan is a single broadcast range join against the point table —
 no shuffle of the big side beyond the final per-query top-k aggregation,
 which AQE handles. For huge query batches, split into chunks or use the
 tile-join path (operators/spatial_join.py).
@@ -34,7 +39,6 @@ from pyspark.sql import functions as F
 
 from linear_kdtree_spark.functions.geometry import dist2
 from linear_kdtree_spark.operators.build import LktIndex
-from linear_kdtree_spark.operators.tree import node_interval
 
 
 def _candidates(points: DataFrame, ranges: list[tuple], schema: str,
@@ -68,32 +72,25 @@ def knn(
             [], "query_id long, key long, dist2 double, rank int"
         )
     k_eff = min(k, total)
-
-    # ---- phase A: per-query candidate interval with ≥ k points
-    seed = []
-    for qid, qx, qy in qrows:
-        node = tree.knn_seed_node(qx, qy, k_eff)
-        lo, hi = node_interval(node, tree.max_depth)
-        seed.append((qid, qx, qy, lo, hi))
-    seed_schema = "query_id long, qx double, qy double, lo long, hi long"
     pts = index.points.select("key", "x", "y", "sort_key")
     w = Window.partitionBy("query_id").orderBy("d2", "key")
-    bounds = (
-        _candidates(pts, seed, seed_schema, tree.max_depth)
-        .withColumn("d2", dist2(F.col("x"), F.col("y"), F.col("qx"), F.col("qy")))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") == k_eff)
-        .select("query_id", "d2")
-        .collect()
-    )
-    r2 = {int(r["query_id"]): float(r["d2"]) for r in bounds}
 
-    # ---- phase B: cover circle(q, r_q) with leaf intervals, exact top-k
+    # ---- bound (driver-only): r_q² = far corner of the seed node's data
+    # bbox; cover circle(q, r_q) with merged leaf intervals. Trees without
+    # recorded bounds (reloaded bare splits) degrade to a full-range scan —
+    # still exact, still one pass.
+    full_range = (0, 1 << tree.max_depth)
     cover = []
     for qid, qx, qy in qrows:
-        r = math.sqrt(r2[qid])
-        for lo, hi in tree.ranges_for_circle(qx, qy, r):
-            cover.append((qid, qx, qy, r2[qid], lo, hi))
+        node = tree.knn_seed_node(qx, qy, k_eff)
+        r2_q = tree.knn_r2_bound(qx, qy, node)
+        ranges = (
+            [full_range]
+            if math.isinf(r2_q)
+            else tree.ranges_for_circle(qx, qy, math.sqrt(r2_q))
+        )
+        for lo, hi in ranges:
+            cover.append((qid, qx, qy, r2_q, lo, hi))
     cover_schema = "query_id long, qx double, qy double, r2 double, lo long, hi long"
     out = (
         _candidates(pts, cover, cover_schema, tree.max_depth)

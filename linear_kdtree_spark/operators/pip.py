@@ -15,10 +15,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from linear_kdtree_spark.functions.geometry import (
-    make_raycast_udf,
-    point_in_convex_polygon,
-)
+from linear_kdtree_spark.functions.geometry import make_raycast_udf
 from linear_kdtree_spark.operators.build import LktIndex
 
 
@@ -65,14 +62,41 @@ def point_in_polygons(
     if exact == "convex":
         from linear_kdtree_spark.functions.geometry import ensure_ccw
 
-        pred = None
+        # per-polygon edge coefficients as ONE broadcast row each (poly_id,
+        # edges array); the refine is a broadcast hash join + forall over
+        # the edge array — plan size independent of |polygons|, unlike the
+        # round-1 chained when-OR of every polygon's half-planes (O(polys)
+        # codegen per candidate row)
+        spark = index.points.sparkSession
+        rows = []
         for p in polygons:
-            this = (F.col("poly_id") == p.poly_id) & point_in_convex_polygon(
-                F.col("x").cast("double"), F.col("y").cast("double"),
-                ensure_ccw(p.vertices),
-            )
-            pred = this if pred is None else (pred | this)
-        return cand.filter(pred).select("poly_id", "key")
+            vs = ensure_ccw(p.vertices)
+            m = len(vs)
+            edges = []
+            for i in range(m):
+                x1, y1 = vs[i]
+                x2, y2 = vs[(i + 1) % m]
+                edges.append((float(x1), float(y1),
+                              float(x2 - x1), float(y2 - y1)))
+            rows.append((p.poly_id, edges))
+        poly_edges = spark.createDataFrame(
+            rows,
+            "poly_id long, edges array<struct<x1:double,y1:double,"
+            "dx:double,dy:double>>",
+        )
+        xd, yd = F.col("x").cast("double"), F.col("y").cast("double")
+        # strict half-plane conjunction: inside ⇔ strictly left of every
+        # CCW edge (identical arithmetic to point_in_convex_polygon)
+        inside = F.forall(
+            F.col("edges"),
+            lambda e: e["dx"] * (yd - e["y1"]) - e["dy"] * (xd - e["x1"])
+            > F.lit(0.0),
+        )
+        return (
+            cand.join(F.broadcast(poly_edges), "poly_id")
+            .filter(inside)
+            .select("poly_id", "key")
+        )
     udf = make_raycast_udf(
         index.points.sparkSession, {p.poly_id: p.vertices for p in polygons}
     )

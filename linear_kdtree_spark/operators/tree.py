@@ -70,6 +70,11 @@ class SplitTree:
         if total_points is None and 0 in nodes:
             total_points = nodes[0].n_left + nodes[0].n_right
         self.total_points = total_points or 0
+        # node → exact data bbox (xmin, xmax, ymin, ymax); populated by the
+        # build from the per-level stats shuffle it already runs (zero extra
+        # jobs). Powers driver-side kNN radius bounds; empty on trees
+        # reloaded without bounds (callers degrade to full-range plans).
+        self.node_bounds: dict[int, tuple] = {}
 
     # ------------------------------------------------------------------ IO
     @classmethod
@@ -213,6 +218,33 @@ class SplitTree:
         xmin, xmax, ymin, ymax = self.bbox(node_id)
         dx = max(xmin - x, 0.0, x - xmax)
         dy = max(ymin - y, 0.0, y - ymax)
+        return dx * dx + dy * dy
+
+    def data_bbox(self, node_id: int) -> tuple[float, float, float, float] | None:
+        """Exact (xmin, xmax, ymin, ymax) of the points under ``node_id``,
+        from the build's per-level stats — or the nearest recorded ancestor's
+        (a superset, still a valid bound). None when the tree carries no
+        bounds (e.g. reloaded from a bare splits table)."""
+        n = node_id
+        while True:
+            if n in self.node_bounds:
+                return self.node_bounds[n]
+            if n == 0:
+                return None
+            n = (n - 1) // 2
+
+    def knn_r2_bound(self, x: float, y: float, node_id: int) -> float:
+        """Upper bound on the k-th-NN distance² for a query at (x, y) whose
+        seed node (≥ k points) is ``node_id``: the far corner of the seed's
+        data bbox — every one of those ≥ k points lies inside it, so the
+        k-th nearest overall is no farther. Replaces the round-1 phase-A
+        data scan + driver collect with pure driver arithmetic."""
+        bb = self.data_bbox(node_id)
+        if bb is None:
+            return INF
+        xmin, xmax, ymin, ymax = bb
+        dx = max(abs(x - xmin), abs(x - xmax))
+        dy = max(abs(y - ymin), abs(y - ymax))
         return dx * dx + dy * dy
 
 
