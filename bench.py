@@ -22,7 +22,7 @@ import sys
 import time
 
 
-def run_suite(sf_dir: str, cpus: int) -> dict:
+def run_suite(sf_dir: str, cpus: int, reps: int | None = None) -> dict:
     from pyspark.sql import functions as F
 
     from linear_kdtree_spark.session import get_spark
@@ -49,11 +49,21 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         shuffle_partitions=cpus,
     )
     timings: dict[str, float] = {}
+    # best-of-N per stage: single shots on this shared host vary ±50 %
+    # (BENCH/SCALING.md) — the per-stage minimum is the noise floor and the
+    # honest per-stage cost. reps=1 keeps the old single-shot behavior.
+    n_reps = reps or int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
-    def timed(name: str, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+    def timed(name: str, fn, cleanup=None, stage_reps: int | None = None):
+        best, out = None, None
+        for i in range(stage_reps or n_reps):
+            if cleanup is not None and out is not None:
+                cleanup(out)
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         return out
 
     # deterministic ×AMP amplification: replicate each base point with a
@@ -81,11 +91,12 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         .repartition(cpus * 2)
         .persist()
     )
-    n_points = timed("load_points", lambda: pts.count())
+    n_points = timed("load_points", lambda: pts.count(), stage_reps=1)
 
     idx = timed(
         "build",
         lambda: _materialized_build(pts, cpus),
+        cleanup=lambda i: i.points.unpersist(),
     )
 
     load_views(spark, sf_dir, ("documents", "embeddings"))
@@ -153,6 +164,7 @@ def main(argv=None) -> int:
         results = {}
         for c in (8, 32):
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(c))
+            env.setdefault("SPARK_GRAFT_BENCH_REPS", "3")
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, check=True,

@@ -278,6 +278,29 @@ def q_tile_lkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic cube-face coordinates from lineitem keys (int arithmetic +
+# one exact-integer division — parses identically in Spark SQL and DuckDB)
+S2_UV_SQL = """
+SELECT key, key % 6 AS face,
+  CAST((key * 48271 + 7) % 20001 - 10000 AS DOUBLE) / 10000.0 AS u,
+  CAST((key * 69621 + 11) % 20001 - 10000 AS DOUBLE) / 10000.0 AS v
+FROM (SELECT l_orderkey * 8 + l_linenumber AS key FROM lineitem) base
+""".strip()
+
+
+def q_tile_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True S2 cell ids (leaf level): the from-scratch quadratic-ST +
+    Hilbert-curve + id-packing core (functions/s2.py), gated bit-exactly
+    against a 30-level unrolled DuckDB oracle. The lat/lng→face/uv trig
+    front-end is pytest-verified (tests/test_s2.py) — trig is not
+    bit-reproducible across engines, the rest is."""
+    from linear_kdtree_spark.operators.tile import s2_cells_from_face_uv
+
+    load_views(spark, sf_dir, ("lineitem",))
+    base = spark.sql(S2_UV_SQL)
+    return s2_cells_from_face_uv(base, 30).select("key", "s2_cell")
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs via banded sign-LSH + exact cosine
     refine (threshold 0.95). Gated hash-exact against a brute-force
@@ -400,6 +423,55 @@ def tile_lkt_oracle_sql(
 , tiles AS (SELECT key, {tile} AS tile FROM lvl{build_depth})
 SELECT tile, COUNT(*) AS n_points FROM tiles GROUP BY tile"""
     )
+
+
+def tile_s2_oracle_sql() -> str:
+    """Independent DuckDB twin of the S2 core: quadratic ST, clamped
+    2^30-grid ij, then the 30-level Hilbert walk unrolled as a CTE chain
+    carrying (pos, orientation) state — tables from the published S2
+    construction (functions/s2.py cites it). Every float op is sqrt /
+    power-of-two scaling / floor: correctly rounded in both engines."""
+    from linear_kdtree_spark.functions.s2 import (
+        _IJ_TO_POS,
+        _POS_TO_ORIENTATION,
+        MAX_LEVEL,
+    )
+
+    n = 1 << MAX_LEVEL
+    st = (
+        "CASE WHEN {w} >= 0 THEN 0.5 * SQRT(1 + 3 * {w}) "
+        "ELSE 1 - 0.5 * SQRT(1 - 3 * {w}) END"
+    )
+    ij = (
+        f"LEAST(GREATEST(CAST(FLOOR(({{s}}) * {float(n)!r}) AS BIGINT), 0), {n - 1})"
+    )
+    sql = f"""WITH base AS ({S2_UV_SQL}),
+st AS (SELECT key, face, {st.format(w="u")} AS s, {st.format(w="v")} AS t FROM base),
+h0 AS (SELECT key, face,
+  {ij.format(s="s")} AS i, {ij.format(s="t")} AS j,
+  CAST(0 AS BIGINT) AS pos, face % 2 AS orient FROM st)"""
+    for step, k in enumerate(range(MAX_LEVEL - 1, -1, -1)):
+        p_branches = " ".join(
+            f"WHEN {o * 4 + b} THEN {int(_IJ_TO_POS[o, b])}"
+            for o in range(4)
+            for b in range(4)
+        )
+        o_branches = " ".join(
+            f"WHEN {p} THEN xor(orient, {int(_POS_TO_ORIENTATION[p])})"
+            for p in range(4)
+            if int(_POS_TO_ORIENTATION[p]) != 0
+        )
+        sql += f""",
+h{step + 1} AS (SELECT key, face, i, j,
+  pos * 4 + p AS pos, CASE p {o_branches} ELSE orient END AS orient
+  FROM (SELECT *, CASE orient * 4 + ((i // {1 << k}) % 2) * 2 + ((j // {1 << k}) % 2)
+                  {p_branches} END AS p FROM h{step}))"""
+    sql += f"""
+SELECT key, CAST(CASE WHEN idv >= 9223372036854775808 THEN idv - 18446744073709551616
+                      ELSE idv END AS BIGINT) AS s2_cell
+FROM (SELECT key, CAST(face AS HUGEINT) * {1 << 61} + CAST(pos AS HUGEINT) * 2 + 1 AS idv
+      FROM h{MAX_LEVEL})"""
+    return sql
 
 
 def embed_neardup_oracle_sql(threshold: float = 0.95) -> str:
@@ -530,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_pairs": q_radius_pairs,
         "extract_geo": q_extract_geo,
         "tile_lkt": q_tile_lkt,
+        "tile_s2": q_tile_s2,
         "embed_neardup": q_embed_neardup,
     }
     out.update(pipeline_queries())
@@ -551,6 +624,7 @@ def oracle_sql() -> dict[str, str]:
         "radius_pairs": radius_oracle_sql(),
         "extract_geo": extract_geo_oracle_sql(),
         "tile_lkt": tile_lkt_oracle_sql(),
+        "tile_s2": tile_s2_oracle_sql(),
         "embed_neardup": embed_neardup_oracle_sql(),
     }
     out.update(pipeline_oracles())

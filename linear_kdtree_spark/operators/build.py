@@ -203,6 +203,7 @@ def lkt_build(
     last_cached = pts
     persist_every = int(os.environ.get("SPARK_GRAFT_PERSIST_EVERY", "3"))
     min_split = max(2, leaf_size + 1)
+    fused_out = None  # set by the fused local finish (already kd-clustered)
 
     for depth in range(start_depth, max_depth):
         t_level = time.time()
@@ -227,8 +228,9 @@ def lkt_build(
             and max(r["cnt"] for r in stats) <= local_threshold
             and any(r["cnt"] >= min_split for r in stats)
         ):
-            pts, local_split_rows = _local_finish(
-                spark, pts, depth, max_depth, strategy, min_split, coord_type
+            fused_out, local_split_rows = _local_finish_fused(
+                spark, pts, depth, max_depth, strategy, min_split, coord_type,
+                num_partitions,
             )
             split_rows.extend(local_split_rows)
             lineage.append(
@@ -322,6 +324,7 @@ def lkt_build(
     # child counts for distributed split nodes at the deepest level (loop
     # may have ended at max_depth before their children were aggregated);
     # local-phase rows already carry exact counts
+    count_src = fused_out if fused_out is not None else pts
     unpatched = [r for r in split_rows if "n_left" not in r]
     missing = [
         r["node_id"]
@@ -331,7 +334,7 @@ def lkt_build(
     if missing:
         lo = min((1 << (node_depth_py(m) + 1)) - 1 for m in missing)
         extra = (
-            pts.filter(F.col("node") >= lo).groupBy("node").count().collect()
+            count_src.filter(F.col("node") >= lo).groupBy("node").count().collect()
         )
         for r in extra:
             node_counts[int(r["node"])] = int(r["count"])
@@ -358,7 +361,7 @@ def lkt_build(
     from linear_kdtree_spark.functions.morton import fast_derived_cols
 
     plen, code, sort_key = fast_derived_cols(F.col("node"), max_depth)
-    out = pts.select(
+    derived = [
         "key",
         "x",
         "y",
@@ -366,11 +369,20 @@ def lkt_build(
         plen.alias("path_len"),
         code.alias("code"),
         sort_key.alias("sort_key"),
-    )
-    n_parts = num_partitions or spark.sparkContext.defaultParallelism
-    out = out.repartitionByRange(n_parts, "sort_key", "key").sortWithinPartitions(
-        "sort_key", "key"
-    )
+    ]
+    if fused_out is not None:
+        # the fused local finish already range-clustered whole subtrees
+        # (one shuffle, keyed on each subtree's sort_key-interval start);
+        # the terminal kd order is just a partition-local sort — no second
+        # full-data shuffle, no range-sampling pass
+        out = fused_out.select(*derived).sortWithinPartitions("sort_key", "key")
+    else:
+        n_parts = num_partitions or spark.sparkContext.defaultParallelism
+        out = (
+            pts.select(*derived)
+            .repartitionByRange(n_parts, "sort_key", "key")
+            .sortWithinPartitions("sort_key", "key")
+        )
     return LktIndex(
         points=out,
         splits=splits_df,
@@ -385,89 +397,128 @@ def node_depth_py(node_id: int) -> int:
     return (node_id + 1).bit_length() - 1
 
 
-def _local_finish(
-    spark, pts, depth, max_depth, strategy, min_split, coord_type
+def _local_finish_fused(
+    spark, pts, depth, max_depth, strategy, min_split, coord_type,
+    num_partitions=None,
 ) -> tuple[DataFrame, list[dict]]:
-    """Phase 2 of the hybrid build: every active node's subtree fits in one
-    task → finish each with the serial canonical algorithm
-    (oracle.build_oracle, axis parity shifted by the global depth) inside a
-    single groupBy(node).applyInPandas pass, then remap local heap ids /
-    codes / path ints into the global numbering:
+    """Phase 2 of the hybrid build, FUSED with the terminal kd ordering:
+    every active node's subtree fits in one task, so ONE range shuffle keyed
+    on each subtree's sort_key-interval start both co-locates whole
+    subtrees (equal keys always land in one range partition) and places the
+    partitions in global kd order; a mapInPandas pass then finishes each
+    subtree with the serial canonical algorithm (oracle.build_oracle, axis
+    parity shifted by the global depth) and remaps local heap ids into the
+    global numbering:
 
         global_node + 1 = (g + 1) · 2^p  +  local_path_bits
-        code_global     = code_prefix | (code_local << depth)
-        sk_global       = sk_prefix · 2^p + sk_local
-    """
+
+    vs the round-1 shape (groupBy.applyInPandas shuffle → two cache
+    rewrites → range-sample pass → second full-data shuffle), this is one
+    shuffle + one cache write; the caller's terminal sort becomes a
+    partition-local sortWithinPartitions. Split rows ride along as kind=1
+    rows (tiny: one per ~leaf_size points)."""
     import numpy as np
     import pandas as pd
 
+    from linear_kdtree_spark.functions.morton import fast_derived_cols
     from linear_kdtree_spark.oracle import build_oracle
 
     level_lo = (1 << depth) - 1
-    active = pts.filter(F.col("node") >= level_lo)
-    done = pts.filter(F.col("node") < level_lo)
     local_strategy = "median" if strategy == "median_approx" else strategy
     dtype = np.float32 if coord_type == "float" else np.float64
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
     out_schema = (
         f"kind int, key long, x {coord_type}, y {coord_type}, node long, "
         "sdepth int, axis int, value double, n_left long, n_right long"
     )
+    _, _, lo_expr = fast_derived_cols(F.col("node"), max_depth)
+    src = (
+        pts.select("key", "x", "y", "node")
+        .withColumn("_subtree_lo", lo_expr)
+        .repartitionByRange(n_parts, "_subtree_lo")
+        .drop("_subtree_lo")
+    )
 
-    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
-        g = int(pdf["node"].iloc[0])
-        res = build_oracle(
-            pdf["x"].to_numpy(),
-            pdf["y"].to_numpy(),
-            max_depth=max_depth - depth,
-            strategy=local_strategy,
-            depth_offset=depth,
-            min_split=min_split,
-            coord_dtype=dtype,
-        )
-        p = res.path_len
-        two_p = np.int64(1) << p
-        points = pd.DataFrame(
-            {
-                "kind": np.int32(0),
-                "key": pdf["key"].to_numpy(),
-                "x": pdf["x"].to_numpy(),
-                "y": pdf["y"].to_numpy(),
-                "node": (g + 1) * two_p + (res.node + 1 - two_p) - 1,
-                "sdepth": np.int32(-1),
-                "axis": np.int32(-1),
-                "value": np.float64(0.0),
-                "n_left": np.int64(-1),
-                "n_right": np.int64(-1),
-            }
-        )
-        srows = []
-        for nid, s in res.splits.items():
-            ps = (nid + 1).bit_length() - 1
-            srows.append(
+    def finish(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        nodes = pdf["node"].to_numpy()
+        order = np.argsort(nodes, kind="stable")
+        pdf = pdf.iloc[order]
+        nodes = nodes[order]
+        uniq, starts = np.unique(nodes, return_index=True)
+        edges = np.append(starts, len(pdf))
+        for gi, g in enumerate(uniq):
+            sub = pdf.iloc[edges[gi]:edges[gi + 1]]
+            g = int(g)
+            if g < level_lo:
+                # subtree went inactive at an earlier level — passthrough
+                yield pd.DataFrame(
+                    {
+                        "kind": np.int32(0),
+                        "key": sub["key"].to_numpy(),
+                        "x": sub["x"].to_numpy(),
+                        "y": sub["y"].to_numpy(),
+                        "node": np.int64(g),
+                        "sdepth": np.int32(-1),
+                        "axis": np.int32(-1),
+                        "value": np.float64(0.0),
+                        "n_left": np.int64(-1),
+                        "n_right": np.int64(-1),
+                    }
+                )
+                continue
+            res = build_oracle(
+                sub["x"].to_numpy(),
+                sub["y"].to_numpy(),
+                max_depth=max_depth - depth,
+                strategy=local_strategy,
+                depth_offset=depth,
+                min_split=min_split,
+                coord_dtype=dtype,
+            )
+            p = res.path_len
+            two_p = np.int64(1) << p
+            points = pd.DataFrame(
                 {
-                    "kind": 1,
-                    "key": -1,
-                    "x": 0.0,
-                    "y": 0.0,
-                    "node": ((g + 1) << ps) + (nid + 1 - (1 << ps)) - 1,
-                    "sdepth": depth + s.depth,
-                    "axis": s.axis,
-                    "value": float(s.value),
-                    "n_left": s.n_left,
-                    "n_right": s.n_right,
+                    "kind": np.int32(0),
+                    "key": sub["key"].to_numpy(),
+                    "x": sub["x"].to_numpy(),
+                    "y": sub["y"].to_numpy(),
+                    "node": (g + 1) * two_p + (res.node + 1 - two_p) - 1,
+                    "sdepth": np.int32(-1),
+                    "axis": np.int32(-1),
+                    "value": np.float64(0.0),
+                    "n_left": np.int64(-1),
+                    "n_right": np.int64(-1),
                 }
             )
-        if srows:
-            points = pd.concat([points, pd.DataFrame(srows)], ignore_index=True)
-        return points
+            srows = []
+            for nid, s in res.splits.items():
+                ps = (nid + 1).bit_length() - 1
+                srows.append(
+                    {
+                        "kind": 1,
+                        "key": -1,
+                        "x": 0.0,
+                        "y": 0.0,
+                        "node": ((g + 1) << ps) + (nid + 1 - (1 << ps)) - 1,
+                        "sdepth": depth + s.depth,
+                        "axis": s.axis,
+                        "value": float(s.value),
+                        "n_left": s.n_left,
+                        "n_right": s.n_right,
+                    }
+                )
+            if srows:
+                points = pd.concat(
+                    [points, pd.DataFrame(srows)], ignore_index=True
+                )
+            yield points
 
-    res = active.groupBy("node").applyInPandas(finish, out_schema).persist()
-    point_cols = ["key", "x", "y", "node"]
-    new_pts = (
-        done.select(point_cols)
-        .unionByName(res.filter(F.col("kind") == 0).select(point_cols))
-        .persist()
-    )
+    wide = src.mapInPandas(finish, out_schema).persist()
     local_split_rows = [
         {
             "node_id": int(r["node"]),
@@ -477,12 +528,12 @@ def _local_finish(
             "n_left": int(r["n_left"]),
             "n_right": int(r["n_right"]),
         }
-        for r in res.filter(F.col("kind") == 1)
+        for r in wide.filter(F.col("kind") == 1)
         .select("node", "sdepth", "axis", "value", "n_left", "n_right")
         .collect()
     ]
-    res.unpersist()
-    return new_pts, local_split_rows
+    points = wide.filter(F.col("kind") == 0).select("key", "x", "y", "node")
+    return points, local_split_rows
 
 
 def _checkpoint_level(

@@ -15,6 +15,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -46,6 +47,59 @@ def assign_tiles_morton(
 ) -> DataFrame:
     return df.withColumn(
         out_col, morton_tile_col(F.col(x_col), F.col(y_col), depth, bounds)
+    )
+
+
+def assign_tiles_s2(df: DataFrame, level: int,
+                    lat_col: str = "y", lon_col: str = "x",
+                    out_col: str = "s2_cell") -> DataFrame:
+    """True S2 cell ids (interop) via the from-scratch vectorized
+    implementation in functions/s2.py — one numpy pass per Arrow batch, no
+    per-row Python. Ids are signed-int64 views of the canonical uint64 S2
+    ids (faces 4-5 come out negative, as in BigQuery)."""
+    from linear_kdtree_spark.functions.s2 import latlng_to_cell_id
+
+    @F.pandas_udf("long")
+    def s2_cell(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series(
+            latlng_to_cell_id(
+                lat.to_numpy(dtype="float64"),
+                lon.to_numpy(dtype="float64"),
+                level,
+            )
+        )
+
+    return df.withColumn(out_col, s2_cell(F.col(lat_col), F.col(lon_col)))
+
+
+def s2_cells_from_face_uv(
+    df: DataFrame,
+    level: int,
+    face_col: str = "face",
+    u_col: str = "u",
+    v_col: str = "v",
+    out_col: str = "s2_cell",
+) -> DataFrame:
+    """S2 ids from pre-projected cube-face (face, u, v) coordinates — the
+    trig-free core pinned bit-exactly by the driver gate (every op is
+    IEEE-exact or correctly rounded; see functions/s2.py)."""
+    import numpy as np
+
+    from linear_kdtree_spark.functions.s2 import face_uv_to_cell_id
+
+    @F.pandas_udf("long")
+    def cell(face: pd.Series, u: pd.Series, v: pd.Series) -> pd.Series:
+        return pd.Series(
+            face_uv_to_cell_id(
+                face.to_numpy(dtype=np.int64),
+                u.to_numpy(dtype=np.float64),
+                v.to_numpy(dtype=np.float64),
+                level,
+            )
+        )
+
+    return df.withColumn(
+        out_col, cell(F.col(face_col), F.col(u_col), F.col(v_col))
     )
 
 

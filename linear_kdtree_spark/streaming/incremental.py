@@ -27,11 +27,41 @@ from linear_kdtree_spark.operators.codes import attach_labels
 
 
 def build_batches(
-    batches: list[DataFrame], max_depth: int = 16, **build_kw
+    batches: list[DataFrame],
+    max_depth: int = 16,
+    concurrent: bool = False,
+    pools: int = 2,
+    **build_kw,
 ) -> list[LktIndex]:
     """One independent index per input batch — the reference's pipelined
-    multi-tree build (main.cpp:226-255 drives 10 equal batches)."""
-    return [lkt_build(b, max_depth=max_depth, **build_kw) for b in batches]
+    multi-tree build (main.cpp:226-255 drives 10 equal batches).
+
+    ``concurrent=True`` is the Spark analogue of the reference's CPU/GPU
+    overlap ("happens in parallel with GPU kernel", lkt.cu:92): batch
+    builds are submitted from ``pools`` driver threads, each tagged with
+    its own scheduler pool via the thread-local
+    ``spark.scheduler.pool`` property, so batch i+1's stages run while
+    batch i's are still in flight. With ``spark.scheduler.mode=FAIR`` the
+    pools share executors fairly; under default FIFO concurrent jobs still
+    interleave whenever free task slots exist. Results are identical to
+    the sequential path (each build is independent and deterministic) —
+    asserted by tests/test_resume_and_pipeline.py."""
+    if not concurrent:
+        return [lkt_build(b, max_depth=max_depth, **build_kw) for b in batches]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(ib):
+        i, b = ib
+        sc = b.sparkSession.sparkContext
+        sc.setLocalProperty("spark.scheduler.pool", f"lkt_batch_{i % pools}")
+        try:
+            return lkt_build(b, max_depth=max_depth, **build_kw)
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
+
+    with ThreadPoolExecutor(max_workers=pools) as ex:
+        return list(ex.map(one, enumerate(batches)))
 
 
 @dataclass

@@ -136,3 +136,53 @@ def test_cli_roundtrip(spark, tmp_path):
     assert cli.main(base + ["tile", "--input", pts_path, "--output", out_tile,
                             "--depth", "6"]) == 0
     assert "tile" in spark.read.parquet(out_tile).columns
+
+
+def test_concurrent_batch_builds_overlap_and_match(spark):
+    """build_batches(concurrent=True) — the reference's CPU/GPU pipeline
+    overlap re-expressed as multi-threaded job submission (lkt.cu:71-104)
+    — must (a) produce results identical to the sequential path and
+    (b) actually interleave: with 2 pool threads over 4 batches, some
+    build's wall-clock window must overlap another's."""
+    import threading
+    import time as _time
+
+    from linear_kdtree_spark.streaming.incremental import build_batches
+
+    batches = [_pts(spark, 2500, seed=100 + i) for i in range(4)]
+    windows = {}
+    orig = lkt_build
+    lock = threading.Lock()
+
+    def traced(b, **kw):
+        t0 = _time.time()
+        out = orig(b, **kw)
+        out.points = out.points.persist()
+        out.points.count()  # materialize inside the window
+        with lock:
+            windows[id(b)] = (t0, _time.time())
+        return out
+
+    import linear_kdtree_spark.streaming.incremental as inc
+
+    inc.lkt_build, saved = traced, inc.lkt_build
+    try:
+        conc = build_batches(batches, max_depth=8, leaf_size=32,
+                             concurrent=True, pools=2)
+    finally:
+        inc.lkt_build = saved
+    seq = build_batches(batches, max_depth=8, leaf_size=32)
+    for a, b in zip(conc, seq):
+        got = sorted(
+            tuple(r) for r in a.points.select("key", "node", "sort_key").collect()
+        )
+        want = sorted(
+            tuple(r) for r in b.points.select("key", "node", "sort_key").collect()
+        )
+        assert got == want
+    spans = sorted(windows.values())
+    assert len(spans) == 4
+    overlaps = any(
+        s2 < e1 for (s1, e1), (s2, e2) in zip(spans, spans[1:])
+    )
+    assert overlaps, spans

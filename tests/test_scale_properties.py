@@ -82,11 +82,31 @@ def test_parquet_pushdown_on_sort_key(spark, tmp_path):
 
 
 def test_build_plan_has_no_python(spark):
+    # pure level-synchronous path: Python-free plan, terminal range shuffle
     pts = _skewed_points(spark, 2000)
-    idx = lkt_build(pts, max_depth=8, strategy="mean", leaf_size=32)
+    idx = lkt_build(pts, max_depth=8, strategy="mean", leaf_size=32,
+                    local_threshold=0)
     plan = idx.points._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan  # Batch/ArrowEvalPython = Python in plan
     assert "rangepartitioning(sort_key" in plan
+
+
+def test_fused_build_plan_single_shuffle(spark):
+    """Hybrid path: the ONLY full-data shuffle is the subtree range
+    partition feeding the fused local finish; the terminal kd order is a
+    partition-local sort (no rangepartitioning(sort_key) exchange, no
+    scalar-UDF Python)."""
+    pts = _skewed_points(spark, 2000)
+    idx = lkt_build(pts, max_depth=8, strategy="mean", leaf_size=32)
+    plan = idx.points._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "rangepartitioning(_subtree_lo" in plan
+    assert "rangepartitioning(sort_key" not in plan
+    # global kd order must still hold: ascending sort_key across the
+    # partition sequence
+    parts = idx.points.select("sort_key").rdd.glom().collect()
+    flat = [v["sort_key"] for part in parts for v in part]
+    assert flat == sorted(flat)
 
 
 def test_interval_join_matches_theta_join(spark):
