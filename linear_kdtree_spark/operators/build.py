@@ -147,6 +147,7 @@ def lkt_build(
     y_col: str = "y",
     coord_type: str = "float",
     local_threshold: int = 200_000,
+    materialize: bool = True,
 ) -> LktIndex:
     """Build the index over a points DataFrame.
 
@@ -154,15 +155,20 @@ def lkt_build(
     lkt.h:13, compared bit-exactly in fixture tests); 'double' keeps full
     input precision (used where results must match a float64 oracle).
 
-    **Hybrid two-phase build**: levels are built distributed (one shuffle
-    each) only while some node still holds more than ``local_threshold``
-    points; as soon as every active node fits in a task, ONE
-    ``groupBy(node).applyInPandas`` pass finishes every subtree locally
-    with the numpy implementation of the identical canonical semantics
-    (oracle.build_oracle with depth/axis offset). At 10^12 points with a
-    2e5 threshold that is ~22 distributed levels + one local pass; at
-    bench scale it replaces ~10 of 14 levels. Set ``local_threshold=0``
-    to force the pure level-synchronous path.
+    **Hybrid two-phase build**: the per-level AGGREGATION is distributed
+    (one map-side-combined shuffle each) only while some node still holds
+    more than ``local_threshold`` points; as soon as every active node
+    fits in a task, ONE range shuffle keyed on each subtree's
+    sort_key-interval start both co-locates whole subtrees and places
+    partitions in global kd order, and a ``mapInPandas`` pass finishes
+    every subtree locally with the numpy implementation of the identical
+    canonical semantics (oracle.build_oracle with depth/axis offset); the
+    terminal kd order then costs only a partition-local sort — no second
+    full-data shuffle (see :func:`_local_finish_fused`). At 10^12 points
+    with a 2e5 threshold that is ~22 distributed levels + one local pass.
+    Set ``local_threshold=0`` to force the pure level-synchronous path
+    (resumable/checkpointed builds use it; they need durable per-level
+    state).
 
     ``points`` must carry (key_col, x_col, y_col); other columns are dropped
     (join them back by ``key``). Returns an :class:`LktIndex` whose
@@ -204,6 +210,7 @@ def lkt_build(
     persist_every = int(os.environ.get("SPARK_GRAFT_PERSIST_EVERY", "3"))
     min_split = max(2, leaf_size + 1)
     fused_out = None  # set by the fused local finish (already kd-clustered)
+    fused_wide = None  # its staging cache (freed after materialization)
 
     for depth in range(start_depth, max_depth):
         t_level = time.time()
@@ -228,7 +235,7 @@ def lkt_build(
             and max(r["cnt"] for r in stats) <= local_threshold
             and any(r["cnt"] >= min_split for r in stats)
         ):
-            fused_out, local_split_rows = _local_finish_fused(
+            fused_out, local_split_rows, fused_wide = _local_finish_fused(
                 spark, pts, depth, max_depth, strategy, min_split, coord_type,
                 num_partitions,
             )
@@ -383,6 +390,17 @@ def lkt_build(
             .repartitionByRange(n_parts, "sort_key", "key")
             .sortWithinPartitions("sort_key", "key")
         )
+    if materialize:
+        # realize the final table, then free the build-internal caches (the
+        # loop cache and the fused staging cache are dead once `out` is
+        # cached) — without this, repeated builds in one session pile up
+        # dead cache copies and degrade until the executor store evicts
+        out = out.persist()
+        out.count()
+        if last_cached is not None:
+            last_cached.unpersist()
+        if fused_wide is not None:
+            fused_wide.unpersist()
     return LktIndex(
         points=out,
         splits=splits_df,
@@ -533,7 +551,7 @@ def _local_finish_fused(
         .collect()
     ]
     points = wide.filter(F.col("kind") == 0).select("key", "x", "y", "node")
-    return points, local_split_rows
+    return points, local_split_rows, wide
 
 
 def _checkpoint_level(

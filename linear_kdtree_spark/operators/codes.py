@@ -103,13 +103,9 @@ def attach_labels(
     udf = make_label_udf(df.sparkSession, tree, md, coord_type=coord_type)
     out = df.withColumn("_lbl", udf(F.col(x_col), F.col(y_col)))
     out = out.select("*", "_lbl.code", "_lbl.node", "_lbl.path_len").drop("_lbl")
-    sk = (F.col("node") + 1 - F.pow(F.lit(2.0), F.col("path_len").cast("double")).cast("long"))
-    return out.withColumn(
-        "sort_key",
-        (
-            sk
-            * F.pow(
-                F.lit(2.0), (F.lit(md) - F.col("path_len")).cast("double")
-            ).cast("long")
-        ).cast("long"),
-    )
+    # same bit-trick derivation the build finalize uses — one shared
+    # implementation, not a second pow(2.0, …) formulation that could drift
+    from linear_kdtree_spark.functions.morton import fast_derived_cols
+
+    _, _, sort_key = fast_derived_cols(F.col("node"), md)
+    return out.withColumn("sort_key", sort_key)
