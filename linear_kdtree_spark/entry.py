@@ -55,6 +55,8 @@ SELECT doc_id AS query_id,
 FROM documents WHERE doc_id < 40
 """.strip()
 
+KNN_BATCH_QUERIES_SQL = KNN_QUERIES_SQL.replace("doc_id < 40", "doc_id < 200")
+
 KNN_K = 5
 RADIUS = 0.5
 TILE_DEPTH = 8
@@ -198,6 +200,17 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, ("documents",))
     queries = spark.sql(KNN_QUERIES_SQL)
     return knn(idx, queries, KNN_K).select("query_id", "key", "rank")
+
+
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-distributed batch kNN (mapInPandas planner, no driver loop
+    over queries) — 200 queries → (query_id, key, rank)."""
+    from linear_kdtree_spark.operators.knn import knn_batch
+
+    idx = _gate_index(spark, sf_dir)
+    load_views(spark, sf_dir, ("documents",))
+    queries = spark.sql(KNN_BATCH_QUERIES_SQL)
+    return knn_batch(idx, queries, KNN_K).select("query_id", "key", "rank")
 
 
 def q_pip_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -490,10 +503,10 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= {threshold!r}
 """.strip()
 
 
-def knn_oracle_sql(k: int = KNN_K) -> str:
+def knn_oracle_sql(k: int = KNN_K, queries_sql: str = KNN_QUERIES_SQL) -> str:
     return f"""
 WITH {_points_cte()},
-qs AS ({KNN_QUERIES_SQL}),
+qs AS ({queries_sql}),
 d AS (SELECT q.query_id, p.key,
         (p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy) AS d2
       FROM qs q CROSS JOIN pts p),
@@ -596,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lkt_build_nodes_f32": q_lkt_build_nodes_f32,
         "lkt_codes": q_lkt_codes,
         "knn": q_knn,
+        "knn_batch": q_knn_batch,
         "pip_rect": q_pip_rect,
         "tile_morton": q_tile_morton,
         "raster_density": q_raster_density,
@@ -618,6 +632,7 @@ def oracle_sql() -> dict[str, str]:
         "lkt_build_nodes_f32": build_nodes_oracle_sql(f32=True),
         "lkt_codes": build_codes_oracle_sql(),
         "knn": knn_oracle_sql(),
+        "knn_batch": knn_oracle_sql(queries_sql=KNN_BATCH_QUERIES_SQL),
         "pip_rect": pip_rect_oracle_sql(),
         "tile_morton": tile_oracle_sql(),
         "raster_density": raster_oracle_sql(),

@@ -34,6 +34,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -106,3 +108,189 @@ def knn(
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# fully-distributed batch kNN (no driver round-trip for the query side)
+# ---------------------------------------------------------------------------
+
+def _seed_r2_bound(qx: np.ndarray, qy: np.ndarray, A: dict, k: int) -> np.ndarray:
+    """Vectorized per-query k-th-distance² upper bound: descend the flat
+    tree arrays; the bound is the far corner of the data bbox of the
+    deepest path node still holding ≥ k points (numpy twin of
+    SplitTree.knn_seed_node + knn_r2_bound)."""
+    n = len(qx)
+    if len(A["ids"]) == 0 or A["ids"][0] != 0:
+        return np.full(n, np.inf)
+    axis, value = A["axis"], A["value"]
+    left, right = A["left"], A["right"]
+    nl, nr = A["n_left"], A["n_right"]
+    bbox, bvalid = A["bbox"], A["bbox_valid"]
+    pos = np.zeros(n, dtype=np.int64)
+    alive = np.ones(n, dtype=bool)
+    cur = np.full((n, 4), np.nan)
+    if bvalid[0]:
+        cur[:] = bbox[0]
+    seed = cur.copy()  # root always holds ≥ k (k is pre-clamped to total)
+    for _ in range(A["max_depth"]):
+        if not alive.any():
+            break
+        idx = np.flatnonzero(alive)
+        p = pos[idx]
+        v = np.where(axis[p] == 0, qx[idx], qy[idx])
+        wl = v < value[p]
+        child_pos = np.where(wl, left[p], right[p])
+        child_cnt = np.where(wl, nl[p], nr[p])
+        has_b = (child_pos >= 0) & bvalid[np.maximum(child_pos, 0)]
+        cur[idx[has_b]] = bbox[child_pos[has_b]]
+        ok = child_cnt >= k
+        seed[idx[ok]] = cur[idx[ok]]
+        alive[idx] = child_pos >= 0
+        pos[idx] = np.maximum(child_pos, 0)
+    dx = np.maximum(np.abs(qx - seed[:, 0]), np.abs(qx - seed[:, 1]))
+    dy = np.maximum(np.abs(qy - seed[:, 2]), np.abs(qy - seed[:, 3]))
+    r2 = dx * dx + dy * dy
+    return np.where(np.isnan(r2), np.inf, r2)
+
+
+def _cover_intervals(
+    qx: np.ndarray, qy: np.ndarray, r2: np.ndarray, A: dict
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized circle cover: level-synchronous frontier expansion over
+    (query, node) pairs — the numpy twin of SplitTree.ranges_for_circle.
+    Returns (query_row_idx, lo, hi); leaf intervals are disjoint by
+    construction, so no merge/dedup is needed."""
+    n = len(qx)
+    md = A["max_depth"]
+    one = np.int64(1)
+    if len(A["ids"]) == 0 or A["ids"][0] != 0:
+        return (
+            np.arange(n, dtype=np.int64),
+            np.zeros(n, dtype=np.int64),
+            np.full(n, one << md, dtype=np.int64),
+        )
+    with np.errstate(invalid="ignore"):
+        r = np.sqrt(r2)
+    xlo, xhi, ylo, yhi = qx - r, qx + r, qy - r, qy + r
+    axis, value = A["axis"], A["value"]
+    left, right = A["left"], A["right"]
+    fq = np.arange(n, dtype=np.int64)
+    fpos = np.zeros(n, dtype=np.int64)
+    fnode = np.zeros(n, dtype=np.int64)
+    out_q, out_lo, out_hi = [], [], []
+
+    def emit(q, node):
+        if len(q) == 0:
+            return
+        v = node + 1
+        lvl = (np.frexp(v.astype(np.float64))[1] - 1).astype(np.int64)
+        lo = (v - (one << lvl)) << (md - lvl)
+        out_q.append(q)
+        out_lo.append(lo)
+        out_hi.append(lo + (one << (md - lvl)))
+
+    for _ in range(md + 1):
+        if len(fq) == 0:
+            break
+        p = fpos
+        lo_v = np.where(axis[p] == 0, xlo[fq], ylo[fq])
+        hi_v = np.where(axis[p] == 0, xhi[fq], yhi[fq])
+        nq, npos, nnode = [], [], []
+        for go, child_of, bit in (
+            (lo_v < value[p], left, 0),
+            (hi_v >= value[p], right, 1),
+        ):
+            cq = fq[go]
+            cpos = child_of[p[go]]
+            cnode = fnode[go] * 2 + 1 + bit
+            leaf = cpos < 0
+            emit(cq[leaf], cnode[leaf])
+            nq.append(cq[~leaf])
+            npos.append(cpos[~leaf])
+            nnode.append(cnode[~leaf])
+        fq = np.concatenate(nq)
+        fpos = np.concatenate(npos)
+        fnode = np.concatenate(nnode)
+    if not out_q:
+        return (np.empty(0, np.int64),) * 3
+    return np.concatenate(out_q), np.concatenate(out_lo), np.concatenate(out_hi)
+
+
+def knn_batch(
+    index: LktIndex,
+    queries: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    qx_col: str = "qx",
+    qy_col: str = "qy",
+) -> DataFrame:
+    """Exact kNN for LARGE query batches, fully distributed: the per-query
+    planning (seed bound + circle cover) that :func:`knn` runs in a driver
+    loop happens inside ``mapInPandas`` over the query DataFrame against
+    broadcast flat tree arrays, and the interval→bucket replication is a
+    column expression — the driver never touches a query row. Same output
+    as :func:`knn` (equality is tested); use it when the query side is too
+    big to collect (10^5+ rows)."""
+    spark = index.points.sparkSession
+    tree = index.tree
+    total = tree.total_points
+    if total == 0:
+        return spark.createDataFrame(
+            [], "query_id long, key long, dist2 double, rank int"
+        )
+    k_eff = min(k, total)
+    md = tree.max_depth
+    bc = spark.sparkContext.broadcast(tree.to_query_arrays())
+    # bucket width: mean leaf interval spans ≲ 4 buckets (same rule as
+    # operators/interval_join.choose_shift, computed from the tree alone)
+    mean_len = (1 << md) / max(len(tree.nodes) + 1, 1)
+    shift = min(max(0, int(mean_len / 4).bit_length() - 1), md)
+    out_schema = "query_id long, qx double, qy double, r2 double, lo long, hi long"
+
+    def plan(batches):
+        A = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qxv = pdf[qx_col].to_numpy(dtype=np.float64)
+            qyv = pdf[qy_col].to_numpy(dtype=np.float64)
+            r2 = _seed_r2_bound(qxv, qyv, A, k_eff)
+            qi, lo, hi = _cover_intervals(qxv, qyv, r2, A)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf[query_id].to_numpy()[qi],
+                    "qx": qxv[qi],
+                    "qy": qyv[qi],
+                    "r2": r2[qi],
+                    "lo": lo,
+                    "hi": hi,
+                }
+            )
+
+    cover = queries.select(query_id, qx_col, qy_col).mapInPandas(plan, out_schema)
+    ivals = cover.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.shiftright("lo", shift), F.shiftright(F.col("hi") - 1, shift)
+            )
+        ),
+    )
+    pts = index.points.select("key", "x", "y", "sort_key").withColumn(
+        "bucket", F.shiftright("sort_key", shift)
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "key")
+    return (
+        pts.join(ivals, "bucket")
+        .filter((F.col("sort_key") >= F.col("lo")) & (F.col("sort_key") < F.col("hi")))
+        .withColumn("d2", dist2(F.col("x"), F.col("y"), F.col("qx"), F.col("qy")))
+        .filter(F.col("d2") <= F.col("r2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_eff)
+        .select(
+            "query_id",
+            "key",
+            F.col("d2").alias("dist2"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

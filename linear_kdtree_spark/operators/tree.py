@@ -129,6 +129,33 @@ class SplitTree:
         right = np.array([pos.get(2 * n + 2, -1) for n in ids], dtype=np.int64)
         return {"ids": ids, "axis": axis, "value": value, "left": left, "right": right}
 
+    def to_query_arrays(self) -> dict:
+        """:meth:`to_arrays` plus per-node subtree counts and data bboxes —
+        everything the fully-distributed batch-kNN planner needs inside an
+        executor (operators/knn.py knn_batch): the whole tree broadcasts as
+        a handful of flat numpy arrays, the distributed analogue of the
+        reference's device-side flat node array (lkt.cu:55-59)."""
+        arrs = self.to_arrays()
+        ids = arrs["ids"]
+        arrs["n_left"] = np.array(
+            [self.nodes[n].n_left for n in ids], dtype=np.int64
+        )
+        arrs["n_right"] = np.array(
+            [self.nodes[n].n_right for n in ids], dtype=np.int64
+        )
+        bbox = np.full((max(len(ids), 1), 4), np.nan, dtype=np.float64)
+        valid = np.zeros(max(len(ids), 1), dtype=bool)
+        for i, n in enumerate(ids):
+            b = self.node_bounds.get(int(n))
+            if b is not None:
+                bbox[i] = b
+                valid[i] = True
+        arrs["bbox"] = bbox[: len(ids)]
+        arrs["bbox_valid"] = valid[: len(ids)]
+        arrs["max_depth"] = self.max_depth
+        arrs["total_points"] = self.total_points
+        return arrs
+
     # ----------------------------------------------------------- structure
     def count(self, node_id: int) -> int:
         """Point count of a node's subtree (split node or leaf child)."""

@@ -212,3 +212,30 @@ def test_morton_tiles_and_raster(spark, index, dataset):
         assert (r["xmin"], r["ymin"], r["xmax"], r["ymax"]) == pytest.approx(
             (xmin, ymin, xmax, ymax)
         )
+
+
+def test_knn_batch_equals_knn(spark, index, dataset):
+    """The fully-distributed batch planner (mapInPandas seed/cover, no
+    driver loop) must produce exactly the driver-planned knn() results —
+    including tie ranks — over a query batch straddling clusters, edges
+    and far-outside points."""
+    from linear_kdtree_spark.operators.knn import knn_batch
+
+    rng = np.random.default_rng(17)
+    pts = np.vstack([
+        rng.uniform(0, 100, (60, 2)),
+        rng.uniform(-50, 160, (20, 2)),  # incl. outside the data bbox
+    ])
+    queries = [(i, float(p[0]), float(p[1])) for i, p in enumerate(pts)]
+    k = 7
+    qdf = spark.createDataFrame(queries, "query_id long, qx double, qy double")
+    got = sorted(
+        (r["query_id"], r["rank"], r["key"])
+        for r in knn_batch(index, qdf, k).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["key"])
+        for r in knn(index, queries, k).collect()
+    )
+    assert got == want
+    assert len(got) == len(pts) * k
