@@ -13,14 +13,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from linear_kdtree_spark.entry import load_views
+from linear_kdtree_spark.entry import AUG_PAGES_SQL, load_views
 from linear_kdtree_spark.functions.text import (
     BPE_RE,
+    EMAIL_RE,
     LANG_MARKERS,
     FP_MOD,
+    PHONE_RE,
     bpe_ish_token_count,
+    count_pattern,
     fingerprint_expr,
+    host_of,
     lang_id,
+    scrub_pii,
     token_count,
 )
 
@@ -364,6 +369,72 @@ SELECT k.doc_id, o.lang
 FROM kept k JOIN documents o ON k.doc_id % 1000000 = o.doc_id
 """.strip()
 
+# -------------------------------------------------------- domain stats / PII
+
+# deterministic PII injection (every 4th doc gets an email + phone) so the
+# scrub operators have real work; identical string assembly in both engines
+PII_DOCS_SQL = """
+SELECT doc_id, text || CASE WHEN doc_id % 4 = 0 THEN
+    ' contact user' || CAST(doc_id AS STRING) || '@mail'
+      || CAST(doc_id % 7 AS STRING) || '.example or call 555-'
+      || lpad(CAST(doc_id % 1000 AS STRING), 3, '0') || '-'
+      || lpad(CAST((doc_id * 13) % 10000 AS STRING), 4, '0')
+  ELSE '' END AS text
+FROM documents
+""".strip()
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level corpus stats (the per-host aggregation a crawl-curation
+    run starts from): host → page count + total text chars."""
+    load_views(spark, sf_dir, ("documents",))
+    aug = spark.sql(AUG_PAGES_SQL)
+    return (
+        aug.select(host_of(F.col("url")).alias("host"), "text")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.length("text")).alias("sum_chars"),
+        )
+    )
+
+
+def domain_stats_oracle_sql() -> str:
+    return f"""
+WITH aug AS ({AUG_PAGES_SQL})
+SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+  CAST(COUNT(*) AS BIGINT) AS n_pages,
+  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+FROM aug GROUP BY 1
+""".strip()
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the injected-PII corpus →
+    (doc_id, n_emails, n_phones, scrubbed_len)."""
+    load_views(spark, sf_dir, ("documents",))
+    docs = spark.sql(PII_DOCS_SQL)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        count_pattern(t, EMAIL_RE).cast("long").alias("n_emails"),
+        count_pattern(t, PHONE_RE).cast("long").alias("n_phones"),
+        F.length(scrub_pii(t)).cast("long").alias("scrubbed_len"),
+    )
+
+
+def pii_scrub_oracle_sql() -> str:
+    return f"""
+WITH d AS ({PII_DOCS_SQL})
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{EMAIL_RE}', 0)) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{PHONE_RE}', 0)) AS BIGINT) AS n_phones,
+  CAST(length(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+       '{PHONE_RE}', '<PHONE>', 'g')) AS BIGINT) AS scrubbed_len
+FROM d
+""".strip()
+
+
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, ("embeddings",))
     return spark.table("embeddings")
@@ -468,6 +539,8 @@ def pipeline_queries():
         "simhash": q_simhash,
         "ann_brute": q_ann_brute,
         "ann_ivf": q_ann_ivf,
+        "domain_stats": q_domain_stats,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -485,4 +558,6 @@ def pipeline_oracles():
         "simhash": simhash_oracle_sql(),
         "ann_brute": ann_brute_oracle_sql(),
         "ann_ivf": ann_ivf_oracle_sql(),
+        "domain_stats": domain_stats_oracle_sql(),
+        "pii_scrub": pii_scrub_oracle_sql(),
     }

@@ -106,6 +106,31 @@ def lang_id(text: Column) -> Column:
 FP_MOD = 1_000_000_007
 FP_WEIGHT = 31
 
+# PII patterns — RE2-compatible and portable to the DuckDB oracle dialect
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+HOST_RE = r"^https?://([^/]+)/"
+
+
+def count_pattern(text: Column, pattern: str) -> Column:
+    """Occurrences of a regex in a column (portable formulation)."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace emails then phone numbers with fixed tokens — the standard
+    pre-training redaction pass (emails first so a phone-looking fragment
+    inside an address is not double-scrubbed)."""
+    return F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+
+
+def host_of(url: Column) -> Column:
+    """Host part of an http(s) URL (empty string when unparseable) —
+    the grouping key for domain-level corpus stats."""
+    return F.regexp_extract(url, HOST_RE, 1)
+
 
 def fingerprint_expr(text: Column) -> Column:
     """Position-weighted document fingerprint: Σ ascii(c_i) · w_i mod p with

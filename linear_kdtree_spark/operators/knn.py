@@ -223,6 +223,7 @@ def knn_batch(
     query_id: str = "query_id",
     qx_col: str = "qx",
     qy_col: str = "qy",
+    broadcast_cover: bool = True,
 ) -> DataFrame:
     """Exact kNN for LARGE query batches, fully distributed: the per-query
     planning (seed bound + circle cover) that :func:`knn` runs in a driver
@@ -230,7 +231,14 @@ def knn_batch(
     broadcast flat tree arrays, and the interval→bucket replication is a
     column expression — the driver never touches a query row. Same output
     as :func:`knn` (equality is tested); use it when the query side is too
-    big to collect (10^5+ rows)."""
+    big to collect (10^5+ rows).
+
+    ``broadcast_cover=True`` (default) hints the cover side into a
+    broadcast hash join so the POINT table is never shuffled — right up to
+    ~10^6-interval covers. Beyond that, set False: the join becomes a
+    shuffle on ``bucket`` (both sides partitioned by key — the correct
+    shape when the query batch itself is data-scale; AQE skew-split
+    applies)."""
     spark = index.points.sparkSession
     tree = index.tree
     total = tree.total_points
@@ -276,6 +284,8 @@ def knn_batch(
             )
         ),
     )
+    if broadcast_cover:
+        ivals = F.broadcast(ivals)
     pts = index.points.select("key", "x", "y", "sort_key").withColumn(
         "bucket", F.shiftright("sort_key", shift)
     )

@@ -341,3 +341,32 @@ def test_streaming_incremental_build(spark, tmp_path):
     assert result.count() == 300
     assert result.select("batch_id").distinct().count() == 3
     assert {"code", "node", "sort_key"} <= set(result.columns)
+
+
+def test_pii_scrub_and_host(spark):
+    from linear_kdtree_spark.functions.text import (
+        EMAIL_RE, PHONE_RE, count_pattern, host_of, scrub_pii,
+    )
+
+    rows = [
+        (0, "write to a.b+c@mail.example or call 555-123-4567 now",
+         "https://sub.host.example/p/1"),
+        (1, "no pii here", "http://h.example/"),
+        (2, "two mails x@y.example z@w.example", "ftp://nope"),
+    ]
+    df = spark.createDataFrame(rows, "i long, text string, url string")
+    got = {r["i"]: r for r in df.select(
+        "i",
+        count_pattern(F.col("text"), EMAIL_RE).alias("ne"),
+        count_pattern(F.col("text"), PHONE_RE).alias("np"),
+        scrub_pii(F.col("text")).alias("s"),
+        host_of(F.col("url")).alias("h"),
+    ).collect()}
+    assert got[0]["ne"] == 1 and got[0]["np"] == 1
+    assert "<EMAIL>" in got[0]["s"] and "<PHONE>" in got[0]["s"]
+    assert "a.b+c@" not in got[0]["s"] and "555-123-4567" not in got[0]["s"]
+    assert got[0]["h"] == "sub.host.example"
+    assert got[1]["ne"] == 0 and got[1]["np"] == 0 and got[1]["s"] == "no pii here"
+    assert got[1]["h"] == "h.example"
+    assert got[2]["ne"] == 2
+    assert got[2]["h"] == ""  # non-http scheme → unparseable → empty
