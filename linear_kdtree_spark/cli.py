@@ -59,6 +59,13 @@ def cmd_build(args) -> int:
     )
     idx.points.write.mode("overwrite").parquet(os.path.join(args.output, "points"))
     idx.splits.write.mode("overwrite").parquet(os.path.join(args.output, "splits"))
+    # per-node data bboxes power the kNN radius bound; without them a
+    # reloaded index still answers exactly but plans full-range scans
+    if idx.tree.node_bounds:
+        spark.createDataFrame(
+            [(n, *b) for n, b in idx.tree.node_bounds.items()],
+            "node long, xmin double, xmax double, ymin double, ymax double",
+        ).write.mode("overwrite").parquet(os.path.join(args.output, "bounds"))
     with open(os.path.join(args.output, "lineage.json"), "w") as f:
         json.dump(
             {"max_depth": idx.max_depth, "coord_type": idx.coord_type,
@@ -81,6 +88,12 @@ def _load_index(spark, index_dir: str):
     tree = SplitTree.from_df(splits, max_depth=meta["max_depth"])
     if not tree.total_points:
         tree.total_points = points.count()
+    bounds_path = os.path.join(index_dir, "bounds")
+    if os.path.isdir(bounds_path):
+        tree.node_bounds = {
+            int(r["node"]): (r["xmin"], r["xmax"], r["ymin"], r["ymax"])
+            for r in spark.read.parquet(bounds_path).collect()
+        }
     return LktIndex(
         points=points, splits=splits, tree=tree,
         lineage=meta.get("levels", []), max_depth=meta["max_depth"],
@@ -100,12 +113,15 @@ def cmd_extract(args) -> int:
 
 
 def cmd_knn(args) -> int:
-    from linear_kdtree_spark.operators.knn import knn
+    from linear_kdtree_spark.operators.knn import knn, knn_batch
 
     spark = _spark(args)
     idx = _load_index(spark, args.index)
     queries = spark.read.parquet(args.queries)
-    out = knn(idx, queries, args.k)
+    if args.batch:
+        out = knn_batch(idx, queries, args.k)
+    else:
+        out = knn(idx, queries, args.k)
     out.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"knn_rows": spark.read.parquet(args.output).count()}))
     return 0
@@ -135,11 +151,17 @@ def cmd_pip(args) -> int:
 
 
 def cmd_tile(args) -> int:
-    from linear_kdtree_spark.operators.tile import assign_tiles_morton
+    from linear_kdtree_spark.operators.tile import (
+        assign_tiles_morton,
+        assign_tiles_s2,
+    )
 
     spark = _spark(args)
     pts = spark.read.parquet(args.input)
-    out = assign_tiles_morton(pts, args.depth)
+    if args.mode == "s2":
+        out = assign_tiles_s2(pts, args.level)
+    else:
+        out = assign_tiles_morton(pts, args.depth)
     out.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"tiled_rows": spark.read.parquet(args.output).count()}))
     return 0
@@ -179,6 +201,8 @@ def make_parser() -> argparse.ArgumentParser:
     k.add_argument("--queries", required=True)
     k.add_argument("--output", required=True)
     k.add_argument("-k", type=int, default=5)
+    k.add_argument("--batch", action="store_true",
+                   help="fully-distributed planner for large query batches")
     k.set_defaults(fn=cmd_knn)
 
     q = sub.add_parser("pip")
@@ -190,7 +214,9 @@ def make_parser() -> argparse.ArgumentParser:
     t = sub.add_parser("tile")
     t.add_argument("--input", required=True)
     t.add_argument("--output", required=True)
-    t.add_argument("--depth", type=int, default=8)
+    t.add_argument("--mode", default="morton", choices=["morton", "s2"])
+    t.add_argument("--depth", type=int, default=8, help="morton grid depth")
+    t.add_argument("--level", type=int, default=12, help="s2 cell level")
     t.set_defaults(fn=cmd_tile)
 
     bn = sub.add_parser("bench")

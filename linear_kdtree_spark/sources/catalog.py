@@ -97,6 +97,16 @@ def save_index(catalog: TableCatalog, index, prefix: str = "lkt") -> None:
 
     catalog.write(f"{prefix}_points", index.points)
     catalog.write(f"{prefix}_splits", index.splits)
+    if index.tree.node_bounds:
+        # per-node data bboxes — the kNN planner's radius bounds survive a
+        # catalog round-trip instead of degrading to full-range plans
+        catalog.write(
+            f"{prefix}_bounds",
+            catalog.spark.createDataFrame(
+                [(n, *b) for n, b in index.tree.node_bounds.items()],
+                "node long, xmin double, xmax double, ymin double, ymax double",
+            ),
+        )
     if index.lineage:
         catalog.write(
             f"{prefix}_build_log",

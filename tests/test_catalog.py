@@ -40,3 +40,38 @@ def test_save_index_tables(spark, tmp_path):
     assert cat.read("lkt_build_log").count() == len(idx.lineage)
     pm = cat.read("lkt_partition_metrics")
     assert pm.groupBy().sum("n_rows").first()[0] == 500
+
+
+def test_append_keeps_snapshot_history(spark, tmp_path):
+    """Regression: mode='append' previously dropped manifest['snapshots']
+    when history existed, making every later read() raise KeyError."""
+    cat = TableCatalog(spark, str(tmp_path / "cat2"))
+    cat.write("t", spark.range(5).withColumnRenamed("id", "v"))
+    cat.write("t", spark.range(7).withColumnRenamed("id", "v"), mode="append")
+    cat.write("t", spark.range(9).withColumnRenamed("id", "v"), mode="append")
+    snaps = cat.snapshots("t")
+    assert len(snaps) == 3
+    assert cat.read("t").count() == 9
+    assert cat.read("t", snapshot_id=snaps[0]["id"]).count() == 5
+
+
+def test_save_index_bounds_roundtrip(spark, tmp_path):
+    rng = np.random.default_rng(2)
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "key": np.arange(400),
+                "x": rng.uniform(0, 100, 400).astype("float32"),
+                "y": rng.uniform(0, 100, 400).astype("float32"),
+            }
+        )
+    )
+    idx = lkt_build(pts, max_depth=6, strategy="mean", local_threshold=0)
+    assert idx.tree.node_bounds  # distributed levels record bboxes
+    cat = TableCatalog(spark, str(tmp_path / "cat3"))
+    save_index(cat, idx, prefix="b")
+    got = {
+        int(r["node"]): (r["xmin"], r["xmax"], r["ymin"], r["ymax"])
+        for r in cat.read("b_bounds").collect()
+    }
+    assert got == idx.tree.node_bounds

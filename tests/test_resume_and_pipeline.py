@@ -137,6 +137,22 @@ def test_cli_roundtrip(spark, tmp_path):
                             "--depth", "6"]) == 0
     assert "tile" in spark.read.parquet(out_tile).columns
 
+    # batch-kNN through a RELOADED index (bounds parquet round-trip) must
+    # equal the driver-planned results
+    out_knnb = str(tmp_path / "knn_batch_out")
+    assert cli.main(base + ["knn", "--index", idx_path, "--queries", q_path,
+                            "--output", out_knnb, "-k", "3", "--batch"]) == 0
+    a = sorted(map(tuple, spark.read.parquet(out_knn)
+                   .select("query_id", "rank", "key").collect()))
+    b = sorted(map(tuple, spark.read.parquet(out_knnb)
+                   .select("query_id", "rank", "key").collect()))
+    assert a == b
+
+    out_s2 = str(tmp_path / "s2_out")
+    assert cli.main(base + ["tile", "--input", pts_path, "--output", out_s2,
+                            "--mode", "s2", "--level", "8"]) == 0
+    assert "s2_cell" in spark.read.parquet(out_s2).columns
+
 
 def test_concurrent_batch_builds_overlap_and_match(spark):
     """build_batches(concurrent=True) — the reference's CPU/GPU pipeline
