@@ -255,6 +255,18 @@ def q_raster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_raster_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution tile rollup (depths 0..6): one data scan at the
+    finest level, every coarser level aggregated from the previous level's
+    aggregate → (depth, tile, n_points)."""
+    from linear_kdtree_spark.operators.raster import rasterize_pyramid
+
+    pts = points_df(spark, sf_dir)
+    return rasterize_pyramid(pts, RASTER_DEPTH).select(
+        F.col("depth").cast("int").alias("depth"), "tile", "n_points"
+    )
+
+
 def q_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self radius join (grid-cell equi-join + exact refine) →
     (a_key, b_key), a < b. Deterministic ~6 % subsample keeps the DuckDB
@@ -566,6 +578,25 @@ FROM cells
 """.strip()
 
 
+def raster_pyramid_oracle_sql(max_depth: int = RASTER_DEPTH) -> str:
+    """Independent formulation: each level grouped DIRECTLY from the
+    points at its own resolution (the engine rolls up level-from-level;
+    equality holds because halving the grid ordinate is exactly the
+    half-resolution floor and the Z-order parent is tile >> 2)."""
+    from linear_kdtree_spark.functions.morton import morton_tile_sql
+
+    parts = []
+    for d in range(max_depth, -1, -1):
+        tile = (
+            morton_tile_sql("x", "y", d) if d > 0 else "CAST(0 AS BIGINT)"
+        )
+        parts.append(
+            f"SELECT CAST({d} AS INTEGER) AS depth, {tile} AS tile,"
+            " COUNT(*) AS n_points FROM pts GROUP BY 1, 2"
+        )
+    return f"WITH {_points_cte()}\n" + "\nUNION ALL\n".join(parts)
+
+
 def radius_oracle_sql(radius: float = RADIUS) -> str:
     return f"""
 WITH {_points_cte()},
@@ -613,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_rect": q_pip_rect,
         "tile_morton": q_tile_morton,
         "raster_density": q_raster_density,
+        "raster_pyramid": q_raster_pyramid,
         "radius_pairs": q_radius_pairs,
         "extract_geo": q_extract_geo,
         "tile_lkt": q_tile_lkt,
@@ -636,6 +668,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_rect": pip_rect_oracle_sql(),
         "tile_morton": tile_oracle_sql(),
         "raster_density": raster_oracle_sql(),
+        "raster_pyramid": raster_pyramid_oracle_sql(),
         "radius_pairs": radius_oracle_sql(),
         "extract_geo": extract_geo_oracle_sql(),
         "tile_lkt": tile_lkt_oracle_sql(),

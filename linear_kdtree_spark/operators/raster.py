@@ -44,6 +44,44 @@ def rasterize(
     return tiled.groupBy("tile").agg(*aggs)
 
 
+def rasterize_pyramid(
+    points: DataFrame,
+    max_depth: int,
+    value_col: str | None = None,
+    bounds: tuple[float, float, float, float] = WORLD,
+) -> DataFrame:
+    """(depth, tile, n_points [, sum_value]) for every level 0..max_depth —
+    the multi-resolution rollup a tile-serving/raster pipeline materializes.
+
+    Scale shape: the data is scanned ONCE (the max_depth rasterize); every
+    coarser level aggregates the PREVIOUS level's aggregate (Z-order parent
+    = tile >> 2, exact because halving the grid index is the floor of the
+    half-resolution ordinate), so levels 0..d-1 cost O(4^d) aggregate rows,
+    not O(points). avg is intentionally absent (not rollup-mergeable
+    without carrying sums — callers derive it as sum/n)."""
+    base = rasterize(points, max_depth, value_col=value_col, bounds=bounds)
+    aggs = [F.sum("n_points").alias("n_points")]
+    cols = ["depth", "tile", "n_points"]
+    if value_col:
+        base = base.drop("avg_value")
+        aggs.append(F.sum("sum_value").alias("sum_value"))
+        cols.append("sum_value")
+    cur = base.withColumn("depth", F.lit(max_depth)).select(*cols)
+    levels = [cur]
+    for d in range(max_depth - 1, -1, -1):
+        cur = (
+            cur.groupBy(F.shiftright("tile", 2).alias("tile"))
+            .agg(*aggs)
+            .withColumn("depth", F.lit(d))
+            .select(*cols)
+        )
+        levels.append(cur)
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    return out
+
+
 def vectorize(
     raster: DataFrame,
     depth: int,

@@ -239,3 +239,26 @@ def test_knn_batch_equals_knn(spark, index, dataset):
     )
     assert got == want
     assert len(got) == len(pts) * k
+
+
+def test_raster_pyramid_rollup(spark, dataset):
+    """Every pyramid level must equal a direct rasterize at that depth,
+    and level sums must all equal the point count (nothing dropped)."""
+    from linear_kdtree_spark.operators.raster import rasterize, rasterize_pyramid
+
+    keys, x, y = dataset
+    pts = spark.createDataFrame(
+        pd.DataFrame({"key": keys, "x": x.astype("float64"),
+                      "y": y.astype("float64")})
+    )
+    pyr = rasterize_pyramid(pts, 4).collect()
+    by_depth = {}
+    for r in pyr:
+        by_depth.setdefault(r["depth"], {})[r["tile"]] = r["n_points"]
+    assert set(by_depth) == set(range(5))
+    for d in range(5):
+        assert sum(by_depth[d].values()) == len(keys), d
+        direct = {r["tile"]: r["n_points"]
+                  for r in rasterize(pts, d).collect()}
+        assert by_depth[d] == direct, d
+    assert by_depth[0] == {0: len(keys)}
