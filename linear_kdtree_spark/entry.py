@@ -153,6 +153,22 @@ def q_lkt_build_nodes_f32(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.points.select("key", "node")
 
 
+def q_lkt_build_nodes_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-split build (the north_star's mandated split strategy:
+    canonical discrete upper median, an actual data value — even more
+    hash-robust than means, no summation at all) → (key, node)."""
+    from linear_kdtree_spark.operators.build import lkt_build
+
+    idx = lkt_build(
+        points_df(spark, sf_dir),
+        max_depth=BUILD_DEPTH,
+        strategy="median",
+        coord_type="double",
+        local_threshold=0,
+    )
+    return idx.points.select("key", "node")
+
+
 def q_lkt_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-faithful per-point tree-path code (bit = 1 ⇔ went left,
     LSB-first — lkt.cpp:140-157) plus the monotone sort_key transform
@@ -365,13 +381,16 @@ def _points_cte() -> str:
     return f"pts AS ({POINTS_SQL})"
 
 
-def _build_cte(depth: int, f32: bool = False) -> str:
+def _build_cte(depth: int, f32: bool = False, strategy: str = "mean") -> str:
     """Unrolled level-synchronous build as a CTE chain ending at
     ``lvl{depth}`` with columns (key, x, y, node, code) — the independent
     DuckDB twin of operators/build.py's distributed loop. ``f32`` quantizes
-    coords to FLOAT first (reference ``ord_t``, lkt.h:13). The ``code``
-    column accumulates the reference tree-path code: bit d = 1 ⇔ went left
-    at depth d, LSB-first (lkt.cpp:149-150)."""
+    coords to FLOAT first (reference ``ord_t``, lkt.h:13). ``strategy``
+    'mean' or 'median' (canonical discrete upper median sorted[n // 2],
+    ties by key — FLOOR before CAST because DuckDB CAST rounds half-even
+    while the engine truncates). The ``code`` column accumulates the
+    reference tree-path code: bit d = 1 ⇔ went left at depth d, LSB-first
+    (lkt.cpp:149-150)."""
     src = (
         "SELECT key, CAST(x AS FLOAT) AS x, CAST(y AS FLOAT) AS y FROM pts"
         if f32
@@ -389,10 +408,22 @@ def _build_cte(depth: int, f32: bool = False) -> str:
         split = (
             f"s.snode IS NOT NULL AND s.c >= 2 AND s.sv > s.mn AND s.sv <= s.mx"
         )
-        sql += f""",
+        if strategy == "mean":
+            stats = f"""
 s{d} AS (SELECT node AS snode, AVG({ax}) AS sv, COUNT(*) AS c,
                 MIN({ax}) AS mn, MAX({ax}) AS mx
-         FROM lvl{d} WHERE node >= {lo} GROUP BY node),
+         FROM lvl{d} WHERE node >= {lo} GROUP BY node)"""
+        else:
+            stats = f"""
+s{d} AS (SELECT node AS snode, CAST(v AS DOUBLE) AS sv, c, mn, mx FROM (
+    SELECT node, {ax} AS v, key,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY {ax}, key) AS rn,
+           COUNT(*) OVER (PARTITION BY node) AS c,
+           MIN({ax}) OVER (PARTITION BY node) AS mn,
+           MAX({ax}) OVER (PARTITION BY node) AS mx
+    FROM lvl{d} WHERE node >= {lo})
+  WHERE rn = CAST(FLOOR(c / 2.0) AS BIGINT) + 1)"""
+        sql += "," + stats + f""",
 lvl{d + 1} AS (SELECT p.key, p.x, p.y,
   CASE WHEN {split}
        THEN CASE WHEN p.{ax} < s.sv THEN p.node * 2 + 1 ELSE p.node * 2 + 2 END
@@ -411,8 +442,12 @@ def _node_depth_case(depth: int, col: str = "node") -> str:
     return f"(CASE {branches} ELSE 0 END)"
 
 
-def build_nodes_oracle_sql(depth: int = BUILD_DEPTH, f32: bool = False) -> str:
-    return _build_cte(depth, f32) + f"\nSELECT key, node FROM lvl{depth}"
+def build_nodes_oracle_sql(
+    depth: int = BUILD_DEPTH, f32: bool = False, strategy: str = "mean"
+) -> str:
+    return (
+        _build_cte(depth, f32, strategy) + f"\nSELECT key, node FROM lvl{depth}"
+    )
 
 
 def build_codes_oracle_sql(depth: int = BUILD_DEPTH) -> str:
@@ -638,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "points_derivation": q_points,
         "lkt_build_nodes": q_lkt_build_nodes,
         "lkt_build_nodes_f32": q_lkt_build_nodes_f32,
+        "lkt_build_nodes_median": q_lkt_build_nodes_median,
         "lkt_codes": q_lkt_codes,
         "knn": q_knn,
         "knn_batch": q_knn_batch,
@@ -662,6 +698,7 @@ def oracle_sql() -> dict[str, str]:
         "points_derivation": POINTS_SQL,
         "lkt_build_nodes": build_nodes_oracle_sql(),
         "lkt_build_nodes_f32": build_nodes_oracle_sql(f32=True),
+        "lkt_build_nodes_median": build_nodes_oracle_sql(strategy="median"),
         "lkt_codes": build_codes_oracle_sql(),
         "knn": knn_oracle_sql(),
         "knn_batch": knn_oracle_sql(queries_sql=KNN_BATCH_QUERIES_SQL),

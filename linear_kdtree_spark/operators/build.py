@@ -104,17 +104,24 @@ def _split_stats(active: DataFrame, axis: str, strategy: str) -> DataFrame:
         )
     if strategy == "median":
         # canonical discrete upper median sorted[n // 2] — an actual data
-        # value, bit-exact vs the serial oracle
+        # value, bit-exact vs the serial oracle. One ordered window for the
+        # rank + one plain aggregate for the per-node stats (joined back on
+        # node — tiny side), instead of five window functions over the same
+        # sort (measured 161 s → below at gate scale)
         w = Window.partitionBy("node").orderBy(F.col(axis), "key")
-        cw = Window.partitionBy("node")
-        return (
-            active.select("node", "key", axis, other)
+        stats = active.groupBy("node").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(axis).alias("mn"),
+            F.max(axis).alias("mx"),
+            F.min(other).alias("mn2"),
+            F.max(other).alias("mx2"),
+        )
+        ranked = (
+            active.select("node", "key", axis)
             .withColumn("rn", F.row_number().over(w))
-            .withColumn("cnt", F.count(F.lit(1)).over(cw))
-            .withColumn("mn", F.min(axis).over(cw))
-            .withColumn("mx", F.max(axis).over(cw))
-            .withColumn("mn2", F.min(other).over(cw))
-            .withColumn("mx2", F.max(other).over(cw))
+        )
+        return (
+            ranked.join(stats, "node")
             .filter(F.col("rn") == (F.col("cnt") / 2).cast("long") + 1)
             .select(
                 "node", F.col(axis).cast("double").alias("sv"), "cnt",
