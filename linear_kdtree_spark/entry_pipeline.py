@@ -384,6 +384,30 @@ FROM documents
 """.strip()
 
 
+def q_ngram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency trigram score per document (integer LM-style
+    stereotypicality — see functions/text.corpus_ngram_score)."""
+    from linear_kdtree_spark.functions.text import corpus_ngram_score
+
+    load_views(spark, sf_dir, ("documents",))
+    return corpus_ngram_score(spark.table("documents"))
+
+
+def ngram_score_oracle_sql(n: int = 3) -> str:
+    return f"""
+WITH grams AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(1, greatest(length(text) - {n - 1}, 0)),
+    i -> substr(text, CAST(i AS INTEGER), {n}))) AS gram
+  FROM documents),
+freq AS (SELECT gram, COUNT(*) AS c FROM grams GROUP BY gram),
+sc AS (SELECT g.doc_id, SUM(f.c) AS s
+       FROM grams g JOIN freq f USING (gram) GROUP BY g.doc_id)
+SELECT d.doc_id, CAST(COALESCE(s.s, 0) AS BIGINT) AS ngram_score
+FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id
+""".strip()
+
+
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level corpus stats (the per-host aggregation a crawl-curation
     run starts from): host → page count + total text chars."""
@@ -541,6 +565,7 @@ def pipeline_queries():
         "ann_ivf": q_ann_ivf,
         "domain_stats": q_domain_stats,
         "pii_scrub": q_pii_scrub,
+        "ngram_score": q_ngram_score,
     }
 
 
@@ -560,4 +585,5 @@ def pipeline_oracles():
         "ann_ivf": ann_ivf_oracle_sql(),
         "domain_stats": domain_stats_oracle_sql(),
         "pii_scrub": pii_scrub_oracle_sql(),
+        "ngram_score": ngram_score_oracle_sql(),
     }

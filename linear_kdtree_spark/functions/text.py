@@ -152,6 +152,51 @@ def fingerprint_expr(text: Column) -> Column:
     )
 
 
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Array of overlapping character n-grams (empty for short docs).
+    Guarded sequence: Spark's sequence(a, b) DESCENDS when a > b."""
+    cnt = F.length(text) - (n - 1)
+    return F.when(
+        cnt >= 1,
+        F.transform(F.sequence(F.lit(1), cnt), lambda i: text.substr(i, F.lit(n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def corpus_ngram_score(
+    docs, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+):
+    """(id, ngram_score): Σ over the doc's character n-grams of that
+    n-gram's CORPUS frequency — an integer-valued language-model-style
+    stereotypicality score (high = built from common corpus n-grams, low =
+    unusual text). Deterministic by construction (integer sums only —
+    log-probability scoring is not bit-reproducible across engines, this
+    is, so it can be hash-gated).
+
+    Scale shape: explode n-grams → one count aggregation (map-side
+    combined) → equi-join back on the n-gram key → per-doc sum. The
+    frequency table is the only shuffled intermediate; at corpus scale it
+    is bucketable by gram."""
+    grams = docs.select(
+        F.col(id_col), F.explode(char_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    scored = (
+        grams.join(freq, "gram")
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("ngram_score"))
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("ngram_score"), F.lit(0)).cast("long").alias(
+                "ngram_score"
+            ),
+        )
+    )
+
+
 def make_karp_rabin_udf(window: int = 16, base: int = 257, mod: int = 1 << 31):
     """Rolling-hash (Karp-Rabin) min-fingerprint over a sliding byte window
     (a winnowing-style robust fingerprint; docs shorter than the window →

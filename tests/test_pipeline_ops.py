@@ -370,3 +370,21 @@ def test_pii_scrub_and_host(spark):
     assert got[1]["h"] == "h.example"
     assert got[2]["ne"] == 2
     assert got[2]["h"] == ""  # non-http scheme → unparseable → empty
+
+
+def test_corpus_ngram_score(spark, docs):
+    from linear_kdtree_spark.functions.text import corpus_ngram_score
+
+    got = {r["doc_id"]: r["ngram_score"]
+           for r in corpus_ngram_score(docs).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    from collections import Counter
+    freq = Counter(
+        t[i:i + 3] for t in texts.values() for i in range(len(t) - 2)
+    )
+    for did, t in texts.items():
+        expect = sum(freq[t[i:i + 3]] for i in range(len(t) - 2))
+        assert got[did] == expect, did
+    assert got[7] == 0  # empty doc
+    # exact duplicates score identically; doc 0/4 share all trigrams
+    assert got[0] == got[4]
