@@ -362,6 +362,76 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(vecs.unionByName(dups), threshold=0.95)
 
 
+SESSION_GAP_MIN = 30
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join over the events stream: every non-reference event matched
+    to the latest reference event (event_id ≡ 0 mod 3) at-or-before it for
+    the same user — gated against DuckDB's NATIVE ASOF JOIN (a genuinely
+    independent implementation). Right side pre-deduplicated per (user,
+    ts) so tie semantics are pinned in both engines."""
+    from linear_kdtree_spark.operators.temporal import as_of_join
+
+    load_views(spark, sf_dir, ("events",))
+    ev = spark.table("events")
+    left = ev.filter(F.col("event_id") % 3 != 0).select(
+        F.col("event_id").alias("l_id"), "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_id") % 3 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("r_id"))
+    )
+    out = as_of_join(left, right, by="user_id", ts_col="ts",
+                     right_cols=["r_id"], out_prefix="")
+    return out.select(
+        "l_id", F.coalesce(F.col("r_id"), F.lit(-1)).alias("r_id")
+    )
+
+
+def asof_join_oracle_sql() -> str:
+    return """
+WITH l AS (SELECT event_id AS l_id, user_id, ts FROM events WHERE event_id % 3 != 0),
+r AS (SELECT user_id, ts, MAX(event_id) AS r_id FROM events
+      WHERE event_id % 3 = 0 GROUP BY user_id, ts)
+SELECT l.l_id, COALESCE(r.r_id, -1) AS r_id
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""".strip()
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user (Spark native session_window) →
+    integer-only columns, vs the classic gaps-and-islands SQL."""
+    from linear_kdtree_spark.operators.temporal import sessionize
+
+    load_views(spark, sf_dir, ("events",))
+    return sessionize(
+        spark.table("events"), gap=f"{SESSION_GAP_MIN} minutes"
+    )
+
+
+def sessionize_oracle_sql(gap_min: int = SESSION_GAP_MIN) -> str:
+    gap_us = gap_min * 60 * 1_000_000
+    return f"""
+WITH o AS (SELECT user_id, ts, event_id,
+    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events),
+f AS (SELECT *, CASE WHEN pts IS NULL
+        OR epoch_us(ts) - epoch_us(pts) > {gap_us} THEN 1 ELSE 0 END AS brk
+  FROM o),
+g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+SELECT user_id,
+  CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+  CAST(epoch_us(MAX(ts)) AS BIGINT) + {gap_us} AS session_end_us,
+  COUNT(*) AS n_events,
+  MIN(event_id) AS min_event_id,
+  MAX(event_id) AS max_event_id
+FROM g GROUP BY user_id, sid
+""".strip()
+
+
 def q_extract_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex point extraction from deterministic geo-augmented pages →
     (url, ordinal, x, y)."""
@@ -683,6 +753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_pyramid": q_raster_pyramid,
         "radius_pairs": q_radius_pairs,
         "extract_geo": q_extract_geo,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
         "tile_lkt": q_tile_lkt,
         "tile_s2": q_tile_s2,
         "embed_neardup": q_embed_neardup,
@@ -708,6 +780,8 @@ def oracle_sql() -> dict[str, str]:
         "raster_pyramid": raster_pyramid_oracle_sql(),
         "radius_pairs": radius_oracle_sql(),
         "extract_geo": extract_geo_oracle_sql(),
+        "asof_join": asof_join_oracle_sql(),
+        "sessionize": sessionize_oracle_sql(),
         "tile_lkt": tile_lkt_oracle_sql(),
         "tile_s2": tile_s2_oracle_sql(),
         "embed_neardup": embed_neardup_oracle_sql(),
