@@ -408,6 +408,69 @@ FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id
 """.strip()
 
 
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1, "pt": 0.1}
+DOMAIN_CAP = 12
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language mixture down-sampling (seed-free hash
+    draw — byte-identical corpus on every rerun) → kept (doc_id, lang)."""
+    from linear_kdtree_spark.operators.curation import deterministic_sample
+
+    load_views(spark, sf_dir, ("documents",))
+    return deterministic_sample(
+        spark.table("documents"), SAMPLE_RATES, default_rate=0.05
+    ).select("doc_id", "lang")
+
+
+def mixture_sample_oracle_sql() -> str:
+    branches = " ".join(
+        f"WHEN lang = '{k}' THEN {int(v * 1_000_000)}"
+        for k, v in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE (doc_id * 2654435761 + 12345) % 1000000
+      < (CASE {branches} ELSE {int(0.05 * 1_000_000)} END)
+""".strip()
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota: keep the top-N docs per host ranked by token
+    count (desc, doc-id tiebreak) → (host, doc_id, rank)."""
+    from linear_kdtree_spark.operators.curation import cap_per_group
+    from linear_kdtree_spark.functions.text import host_of, token_count
+
+    load_views(spark, sf_dir, ("documents",))
+    aug = spark.sql(AUG_PAGES_SQL)
+    docs = aug.select(
+        host_of(F.col("url")).alias("host"),
+        F.regexp_extract("url", r"/(\d+)$", 1).cast("long").alias("doc_id"),
+        token_count(F.col("text")).alias("n_tok"),
+    )
+    capped = cap_per_group(
+        docs, "host", [F.desc("n_tok"), F.asc("doc_id")], DOMAIN_CAP
+    )
+    return capped.select(
+        "host", "doc_id", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def domain_cap_oracle_sql(n: int = DOMAIN_CAP) -> str:
+    return f"""
+WITH aug AS ({AUG_PAGES_SQL}),
+d AS (SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+        CAST(regexp_extract(url, '/(\\d+)$', 1) AS BIGINT) AS doc_id,
+        len({TOKENS_DUCK}) AS n_tok
+      FROM aug),
+r AS (SELECT host, doc_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY host
+             ORDER BY n_tok DESC, doc_id) AS INTEGER) AS rank
+      FROM d)
+SELECT host, doc_id, rank FROM r WHERE rank <= {n}
+""".strip()
+
+
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level corpus stats (the per-host aggregation a crawl-curation
     run starts from): host → page count + total text chars."""
@@ -566,6 +629,8 @@ def pipeline_queries():
         "domain_stats": q_domain_stats,
         "pii_scrub": q_pii_scrub,
         "ngram_score": q_ngram_score,
+        "mixture_sample": q_mixture_sample,
+        "domain_cap": q_domain_cap,
     }
 
 
@@ -586,4 +651,6 @@ def pipeline_oracles():
         "domain_stats": domain_stats_oracle_sql(),
         "pii_scrub": pii_scrub_oracle_sql(),
         "ngram_score": ngram_score_oracle_sql(),
+        "mixture_sample": mixture_sample_oracle_sql(),
+        "domain_cap": domain_cap_oracle_sql(),
     }

@@ -1,0 +1,65 @@
+"""Corpus-curation primitives: deterministic sampling and per-group quota
+capping — the two knobs every large-scale training-data mixture run turns
+(down-sample over-represented strata, cap docs per domain). Both are pure
+column expressions / windows (no RNG state, no Python): reruns and
+backfills produce byte-identical corpora, which is the property that
+matters at 10^12 documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Knuth multiplicative constant — portable arithmetic hash (xxhash64 et al.
+# differ across engines; this is reproducible everywhere, incl. the DuckDB
+# gate oracle)
+_H_MUL = 2654435761
+_H_ADD = 12345
+_H_MOD = 1_000_000
+
+
+def sample_hash(id_col: F.Column) -> F.Column:
+    """Deterministic per-row draw in [0, 1e6) from an integer id."""
+    return F.pmod(id_col.cast("long") * _H_MUL + _H_ADD, F.lit(_H_MOD))
+
+
+def deterministic_sample(
+    df: DataFrame,
+    rate: float | dict[str, float],
+    id_col: str = "doc_id",
+    stratify_col: str = "lang",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row iff hash(id) < rate·1e6, with ``rate`` either a global
+    fraction or a per-stratum dict (e.g. per-language mixture weights;
+    strata absent from the dict get ``default_rate``). Same row set on
+    every rerun — no seed, no RNG."""
+    h = sample_hash(F.col(id_col))
+    if isinstance(rate, dict):
+        thresh = F.lit(int(default_rate * _H_MOD))
+        for k, v in sorted(rate.items()):
+            thresh = F.when(
+                F.col(stratify_col) == k, F.lit(int(v * _H_MOD))
+            ).otherwise(thresh)
+    else:
+        thresh = F.lit(int(rate * _H_MOD))
+    return df.filter(h < thresh)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    n: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, ranked by ``order_cols`` (give a
+    unique trailing tie-breaker for deterministic corpora). One shuffle on
+    the group key; skewed hot groups are bounded by construction — the
+    window emits at most n rows per group after AQE skew-split."""
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n)
+    )

@@ -388,3 +388,40 @@ def test_corpus_ngram_score(spark, docs):
     assert got[7] == 0  # empty doc
     # exact duplicates score identically; doc 0/4 share all trigrams
     assert got[0] == got[4]
+
+
+def test_curation_sampling_and_cap(spark, docs):
+    from linear_kdtree_spark.operators.curation import (
+        cap_per_group, deterministic_sample, sample_hash,
+    )
+
+    # rerun-determinism: two invocations keep the identical row set
+    a = {r["doc_id"] for r in
+         deterministic_sample(docs, 0.5, stratify_col="lang").collect()}
+    b = {r["doc_id"] for r in
+         deterministic_sample(docs, 0.5, stratify_col="lang").collect()}
+    assert a == b
+    # rate monotonicity: a higher rate keeps a superset
+    c = {r["doc_id"] for r in
+         deterministic_sample(docs, 0.9, stratify_col="lang").collect()}
+    assert a <= c
+    # per-stratum rates: rate-0 stratum vanishes, rate-1 stratum survives
+    d = deterministic_sample(
+        docs, {"en": 1.0}, stratify_col="lang", default_rate=0.0
+    ).collect()
+    assert {r["lang"] for r in d} == {"en"}
+    assert len([r for r in d if r["lang"] == "en"]) == 4  # all en docs kept
+    # matches the hash predicate exactly
+    hs = {r["doc_id"]: r["h"] for r in
+          docs.select("doc_id", sample_hash(F.col("doc_id")).alias("h")).collect()}
+    assert a == {i for i, h in hs.items() if h < 500_000}
+
+    capped = cap_per_group(
+        docs.select("doc_id", "lang"), "lang",
+        [F.asc("doc_id")], 2,
+    ).collect()
+    per = {}
+    for r in capped:
+        per.setdefault(r["lang"], []).append(r["doc_id"])
+    assert all(len(v) <= 2 for v in per.values())
+    assert per["en"] == [0, 1]  # lowest ids win with asc ordering
