@@ -122,17 +122,33 @@ def q_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return points_df(spark, sf_dir)
 
 
-def q_lkt_build_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine build (depth 4, mean splits, double coords) → (key, node)."""
+_LEVELSYNC_CACHE: dict = {}
+
+
+def _levelsync_build(spark, sf_dir, strategy="mean", coord_type="double",
+                     max_depth=BUILD_DEPTH):
+    """Memoized pure level-synchronous gate build (local_threshold=0 —
+    gating the distributed path itself). lkt_build_nodes and lkt_codes
+    share one build; the f32/median variants get their own entries."""
     from linear_kdtree_spark.operators.build import lkt_build
 
+    key = (id(spark), sf_dir, strategy, coord_type, max_depth)
+    if key in _LEVELSYNC_CACHE:
+        return _LEVELSYNC_CACHE[key]
     idx = lkt_build(
         points_df(spark, sf_dir),
-        max_depth=BUILD_DEPTH,
-        strategy="mean",
-        coord_type="double",
-        local_threshold=0,  # gate the distributed level-sync path itself
+        max_depth=max_depth,
+        strategy=strategy,
+        coord_type=coord_type,
+        local_threshold=0,
     )
+    _LEVELSYNC_CACHE[key] = idx
+    return idx
+
+
+def q_lkt_build_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine build (depth 4, mean splits, double coords) → (key, node)."""
+    idx = _levelsync_build(spark, sf_dir)
     return idx.points.select("key", "node")
 
 
@@ -141,15 +157,7 @@ def q_lkt_build_nodes_f32(spark: SparkSession, sf_dir: str) -> DataFrame:
     lkt_build_nodes but with coords quantized to FLOAT before splitting —
     the oracle CTE quantizes the same way, so any float32-vs-float64 drift
     in split comparisons flips the hash."""
-    from linear_kdtree_spark.operators.build import lkt_build
-
-    idx = lkt_build(
-        points_df(spark, sf_dir),
-        max_depth=BUILD_DEPTH,
-        strategy="mean",
-        coord_type="float",
-        local_threshold=0,
-    )
+    idx = _levelsync_build(spark, sf_dir, coord_type="float")
     return idx.points.select("key", "node")
 
 
@@ -157,15 +165,7 @@ def q_lkt_build_nodes_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median-split build (the north_star's mandated split strategy:
     canonical discrete upper median, an actual data value — even more
     hash-robust than means, no summation at all) → (key, node)."""
-    from linear_kdtree_spark.operators.build import lkt_build
-
-    idx = lkt_build(
-        points_df(spark, sf_dir),
-        max_depth=BUILD_DEPTH,
-        strategy="median",
-        coord_type="double",
-        local_threshold=0,
-    )
+    idx = _levelsync_build(spark, sf_dir, strategy="median")
     return idx.points.select("key", "node")
 
 
@@ -173,15 +173,7 @@ def q_lkt_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-faithful per-point tree-path code (bit = 1 ⇔ went left,
     LSB-first — lkt.cpp:140-157) plus the monotone sort_key transform
     (SURVEY.md §1.3), both pinned to the driver hash check."""
-    from linear_kdtree_spark.operators.build import lkt_build
-
-    idx = lkt_build(
-        points_df(spark, sf_dir),
-        max_depth=BUILD_DEPTH,
-        strategy="mean",
-        coord_type="double",
-        local_threshold=0,
-    )
+    idx = _levelsync_build(spark, sf_dir)
     return idx.points.select("key", "code", "sort_key")
 
 
