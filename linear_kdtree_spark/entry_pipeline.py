@@ -430,7 +430,7 @@ def mixture_sample_oracle_sql() -> str:
     )
     return f"""
 SELECT doc_id, lang FROM documents
-WHERE (doc_id * 2654435761 + 12345) % 1000000
+WHERE ((doc_id % 2147483647) * 2654435761 + 12345) % 1000000
       < (CASE {branches} ELSE {int(0.05 * 1_000_000)} END)
 """.strip()
 

@@ -64,9 +64,13 @@ def _latlng_to_xyz(lat_deg, lng_deg):
 def _xyz_to_face_uv(x, y, z):
     """Cube face (0..5) and in-face (u, v) of unit-sphere points."""
     ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
-    # largest absolute component picks the axis; its sign picks +axis/-axis
+    # largest absolute component picks the axis; its sign picks +axis/-axis.
+    # Exact ties prefer the LATER axis (strict > comparisons), matching
+    # reference S2's LargestAbsComponent: x only if ax>ay AND ax>az, else
+    # y only if ay>az, else z — so face-boundary points (e.g. lng=±45°,
+    # lat=0) get the same face/cell id as the real library.
     face = np.where(
-        (ax >= ay) & (ax >= az), 0, np.where(ay >= az, 1, 2)
+        ax > ay, np.where(ax > az, 0, 2), np.where(ay > az, 1, 2)
     ).astype(np.int64)
     major = np.choose(face, [x, y, z])
     face = np.where(major < 0, face + 3, face)
@@ -230,9 +234,10 @@ def latlng_to_cell_id_scalar(lat_deg: float, lng_deg: float,
     y = math.cos(lat) * math.sin(lng)
     z = math.sin(lat)
     ax, ay, az = abs(x), abs(y), abs(z)
-    if ax >= ay and ax >= az:
-        face, major = 0, x
-    elif ay >= az:
+    # same strict-> tie order as the vectorized path (ties → later axis)
+    if ax > ay:
+        face, major = (0, x) if ax > az else (2, z)
+    elif ay > az:
         face, major = 1, y
     else:
         face, major = 2, z

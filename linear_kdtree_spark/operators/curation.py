@@ -17,11 +17,19 @@ from pyspark.sql import functions as F
 _H_MUL = 2654435761
 _H_ADD = 12345
 _H_MOD = 1_000_000
+# Fold the id into [0, 2^31-1) first so the multiply stays inside int64:
+# (2^31-2)·2654435761 + 12345 ≈ 5.7e18 < 2^63 — without this, ids ≥ ~3.5e9
+# (routine at 10^12-doc scale) overflow, wrapping silently in Spark while
+# the DuckDB oracle promotes to HUGEINT, breaking reproducibility exactly
+# where the module promises it. Mirrored in mixture_sample_oracle_sql.
+_H_FOLD = 2_147_483_647  # 2^31 - 1 (prime)
 
 
 def sample_hash(id_col: F.Column) -> F.Column:
-    """Deterministic per-row draw in [0, 1e6) from an integer id."""
-    return F.pmod(id_col.cast("long") * _H_MUL + _H_ADD, F.lit(_H_MOD))
+    """Deterministic per-row draw in [0, 1e6) from an integer id.
+    Overflow-safe for the full int64 id range (see ``_H_FOLD``)."""
+    folded = F.pmod(id_col.cast("long"), F.lit(_H_FOLD))
+    return F.pmod(folded * _H_MUL + _H_ADD, F.lit(_H_MOD))
 
 
 def deterministic_sample(

@@ -51,14 +51,17 @@ def interval_join(
     carry them as extra leading fields, e.g. kNN's r2)."""
     spark = points.sparkSession
     if not intervals:
-        schema = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in points.schema.fields
+        from pyspark.sql import types as T
+
+        # drop the trailing lo/hi fields BY NAME via a real DDL parse — a
+        # naive comma split breaks on nested types (struct<...,...>) and
+        # would silently diverge from the non-empty path's columns
+        ischema = T.StructType.fromDDL(interval_schema)
+        assert ischema.fieldNames()[-2:] == ["lo", "hi"], (
+            "interval_schema must end with fields named lo, hi"
         )
-        # strip the trailing "lo long, hi long" — the joined path drops them
-        extra = ", ".join(s.strip() for s in interval_schema.split(",")[:-2])
-        return spark.createDataFrame(
-            [], schema + (", " + extra if extra else "")
-        )
+        fields = list(points.schema.fields) + list(ischema.fields[:-2])
+        return spark.createDataFrame([], T.StructType(fields))
     shift = choose_shift(intervals, max_depth)
     rows = []
     for tup in intervals:

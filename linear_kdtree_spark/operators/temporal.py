@@ -36,6 +36,12 @@ def as_of_join(
     right_cols = right_cols or [
         c for c in right.columns if c not in (by, ts_col)
     ]
+    if not right_cols:
+        raise ValueError(
+            "as_of_join: the right frame carries no columns besides "
+            f"({by!r}, {ts_col!r}) — there is nothing to join; add a "
+            "payload column or pass right_cols explicitly"
+        )
     tie_col = tie_col or right_cols[0]
     rstruct = T.StructType([right.schema[c] for c in right_cols])
     lstruct = T.StructType([left.schema[c] for c in left.columns])

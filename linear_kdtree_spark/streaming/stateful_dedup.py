@@ -42,26 +42,26 @@ def streaming_exact_dedup(
 
     def update(key, pdfs, state):
         canonical = state.get[0] if state.exists else None
-        frames = []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            ids = pdf["doc_id"].astype("int64")
-            if canonical is None:
-                # first batch this hash appears in: min id of that batch.
-                # later batches do NOT replace it — first-seen-wins is the
-                # streaming-correct rule (the earlier copy already shipped)
-                canonical = int(ids.min())
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "doc_id": ids,
-                        "content_hash": key[0],
-                        "canonical_id": canonical,
-                        "is_duplicate": ids != canonical,
-                    }
-                )
+        # Drain every Arrow chunk BEFORE fixing the canonical: a group whose
+        # first micro-batch spans multiple chunks must still get the
+        # batch-wide min id (first-seen-wins applies across micro-batches,
+        # not across Arrow chunks within one).
+        chunks = [
+            pdf["doc_id"].astype("int64") for pdf in pdfs if len(pdf) > 0
+        ]
+        if canonical is None and chunks:
+            canonical = int(min(ids.min() for ids in chunks))
+        frames = [
+            pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "content_hash": key[0],
+                    "canonical_id": canonical,
+                    "is_duplicate": ids != canonical,
+                }
             )
+            for ids in chunks
+        ]
         if canonical is not None:
             state.update((canonical,))
         yield from frames
