@@ -169,6 +169,33 @@ def q_lkt_build_nodes_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.points.select("key", "node")
 
 
+HYBRID_DEPTH = 10
+HYBRID_LEAF = 512  # the bench/CLI leaf_size (bench.py:_materialized_build)
+HYBRID_THRESHOLD = 30_000
+
+
+def q_lkt_build_nodes_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION build path: hybrid level-sync + FUSED mapInPandas
+    local finish (build.py:_local_finish_fused) — the exact code the bench
+    and CLI run. local_threshold is sized so the fused handoff actually
+    triggers at sf0.01 (60 k points > 30 k at the root → ≥1 distributed
+    level, then every node ≤ 30 k → fused finish), leaf_size matches the
+    bench config. The fused path promises bit-identity with the pure
+    level-synchronous semantics (tests/test_differential.py), so the same
+    unrolled-CTE oracle must pass → (key, node)."""
+    from linear_kdtree_spark.operators.build import lkt_build
+
+    idx = lkt_build(
+        points_df(spark, sf_dir),
+        max_depth=HYBRID_DEPTH,
+        strategy="mean",
+        leaf_size=HYBRID_LEAF,
+        coord_type="double",
+        local_threshold=HYBRID_THRESHOLD,
+    )
+    return idx.points.select("key", "node")
+
+
 def q_lkt_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-faithful per-point tree-path code (bit = 1 ⇔ went left,
     LSB-first — lkt.cpp:140-157) plus the monotone sort_key transform
@@ -443,16 +470,19 @@ def _points_cte() -> str:
     return f"pts AS ({POINTS_SQL})"
 
 
-def _build_cte(depth: int, f32: bool = False, strategy: str = "mean") -> str:
+def _build_cte(
+    depth: int, f32: bool = False, strategy: str = "mean", min_split: int = 2
+) -> str:
     """Unrolled level-synchronous build as a CTE chain ending at
     ``lvl{depth}`` with columns (key, x, y, node, code) — the independent
     DuckDB twin of operators/build.py's distributed loop. ``f32`` quantizes
     coords to FLOAT first (reference ``ord_t``, lkt.h:13). ``strategy``
     'mean' or 'median' (canonical discrete upper median sorted[n // 2],
     ties by key — FLOOR before CAST because DuckDB CAST rounds half-even
-    while the engine truncates). The ``code`` column accumulates the
-    reference tree-path code: bit d = 1 ⇔ went left at depth d, LSB-first
-    (lkt.cpp:149-150)."""
+    while the engine truncates). ``min_split`` = leaf_size + 1 (a node only
+    splits while it holds ≥ min_split points). The ``code`` column
+    accumulates the reference tree-path code: bit d = 1 ⇔ went left at
+    depth d, LSB-first (lkt.cpp:149-150)."""
     src = (
         "SELECT key, CAST(x AS FLOAT) AS x, CAST(y AS FLOAT) AS y FROM pts"
         if f32
@@ -468,7 +498,8 @@ def _build_cte(depth: int, f32: bool = False, strategy: str = "mean") -> str:
         ax = "x" if d % 2 == 0 else "y"
         lo = (1 << d) - 1
         split = (
-            f"s.snode IS NOT NULL AND s.c >= 2 AND s.sv > s.mn AND s.sv <= s.mx"
+            f"s.snode IS NOT NULL AND s.c >= {min_split}"
+            " AND s.sv > s.mn AND s.sv <= s.mx"
         )
         if strategy == "mean":
             stats = f"""
@@ -505,10 +536,14 @@ def _node_depth_case(depth: int, col: str = "node") -> str:
 
 
 def build_nodes_oracle_sql(
-    depth: int = BUILD_DEPTH, f32: bool = False, strategy: str = "mean"
+    depth: int = BUILD_DEPTH,
+    f32: bool = False,
+    strategy: str = "mean",
+    min_split: int = 2,
 ) -> str:
     return (
-        _build_cte(depth, f32, strategy) + f"\nSELECT key, node FROM lvl{depth}"
+        _build_cte(depth, f32, strategy, min_split)
+        + f"\nSELECT key, node FROM lvl{depth}"
     )
 
 
@@ -736,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lkt_build_nodes": q_lkt_build_nodes,
         "lkt_build_nodes_f32": q_lkt_build_nodes_f32,
         "lkt_build_nodes_median": q_lkt_build_nodes_median,
+        "lkt_build_nodes_hybrid": q_lkt_build_nodes_hybrid,
         "lkt_codes": q_lkt_codes,
         "knn": q_knn,
         "knn_batch": q_knn_batch,
@@ -763,6 +799,9 @@ def oracle_sql() -> dict[str, str]:
         "lkt_build_nodes": build_nodes_oracle_sql(),
         "lkt_build_nodes_f32": build_nodes_oracle_sql(f32=True),
         "lkt_build_nodes_median": build_nodes_oracle_sql(strategy="median"),
+        "lkt_build_nodes_hybrid": build_nodes_oracle_sql(
+            depth=HYBRID_DEPTH, min_split=HYBRID_LEAF + 1
+        ),
         "lkt_codes": build_codes_oracle_sql(),
         "knn": knn_oracle_sql(),
         "knn_batch": knn_oracle_sql(queries_sql=KNN_BATCH_QUERIES_SQL),
