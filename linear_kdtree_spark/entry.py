@@ -502,8 +502,15 @@ def _build_cte(
             " AND s.sv > s.mn AND s.sv <= s.mx"
         )
         if strategy == "mean":
+            # f32 builds quantize the mean split to FLOAT (ord_t, lkt.h:13)
+            # exactly like the engine (oracle.split_value / _split_stats)
+            avg = (
+                f"CAST(CAST(AVG({ax}) AS FLOAT) AS DOUBLE)"
+                if f32
+                else f"AVG({ax})"
+            )
             stats = f"""
-s{d} AS (SELECT node AS snode, AVG({ax}) AS sv, COUNT(*) AS c,
+s{d} AS (SELECT node AS snode, {avg} AS sv, COUNT(*) AS c,
                 MIN({ax}) AS mn, MAX({ax}) AS mx
          FROM lvl{d} WHERE node >= {lo} GROUP BY node)"""
         else:

@@ -94,8 +94,14 @@ def _split_stats(active: DataFrame, axis: str, strategy: str) -> DataFrame:
     uses to bound the k-th distance without any data scan."""
     other = "y" if axis == "x" else "x"
     if strategy == "mean":
+        # float32 builds quantize the mean to the coordinate type
+        # (reference ord_t splits, lkt.h:13) — kills last-ulp
+        # summation-order divergence across engines (oracle.split_value)
+        sv = F.avg(axis)
+        if active.schema[axis].dataType.simpleString() == "float":
+            sv = sv.cast("float").cast("double")
         return active.groupBy("node").agg(
-            F.avg(axis).alias("sv"),
+            sv.alias("sv"),
             F.count(F.lit(1)).alias("cnt"),
             F.min(axis).alias("mn"),
             F.max(axis).alias("mx"),
@@ -216,8 +222,7 @@ def lkt_build(
     last_cached = pts
     persist_every = int(os.environ.get("SPARK_GRAFT_PERSIST_EVERY", "3"))
     min_split = max(2, leaf_size + 1)
-    fused_out = None  # set by the fused local finish (already kd-clustered)
-    fused_wide = None  # its staging cache (freed after materialization)
+    fused_out = None  # set by the fused local finish (final, materialized)
 
     for depth in range(start_depth, max_depth):
         t_level = time.time()
@@ -242,9 +247,10 @@ def lkt_build(
             and max(r["cnt"] for r in stats) <= local_threshold
             and any(r["cnt"] >= min_split for r in stats)
         ):
-            fused_out, local_split_rows, fused_wide = _local_finish_fused(
+            fused_out, local_split_rows = _local_finish_fused(
                 spark, pts, depth, max_depth, strategy, min_split, coord_type,
-                num_partitions,
+                num_partitions, node_counts,
+                {r["node_id"] for r in split_rows},
             )
             split_rows.extend(local_split_rows)
             lineage.append(
@@ -372,42 +378,38 @@ def lkt_build(
         SPLITS_SCHEMA,
     )
 
-    from linear_kdtree_spark.functions.morton import fast_derived_cols
-
-    plen, code, sort_key = fast_derived_cols(F.col("node"), max_depth)
-    derived = [
-        "key",
-        "x",
-        "y",
-        "node",
-        plen.alias("path_len"),
-        code.alias("code"),
-        sort_key.alias("sort_key"),
-    ]
     if fused_out is not None:
-        # the fused local finish already range-clustered whole subtrees
-        # (one shuffle, keyed on each subtree's sort_key-interval start);
-        # the terminal kd order is just a partition-local sort — no second
-        # full-data shuffle, no range-sampling pass
-        out = fused_out.select(*derived).sortWithinPartitions("sort_key", "key")
+        # the fused finish already emitted, materialized, and cached the
+        # FINAL kd-ordered 7-column table in one pass; the loop cache is
+        # dead — free it now so repeated builds don't pile up dead cache
+        # copies (measured 86 s → 236 s degradation before this)
+        out = fused_out
+        if last_cached is not None:
+            last_cached.unpersist()
     else:
+        from linear_kdtree_spark.functions.morton import fast_derived_cols
+
+        plen, code, sort_key = fast_derived_cols(F.col("node"), max_depth)
+        derived = [
+            "key",
+            "x",
+            "y",
+            "node",
+            plen.alias("path_len"),
+            code.alias("code"),
+            sort_key.alias("sort_key"),
+        ]
         n_parts = num_partitions or spark.sparkContext.defaultParallelism
         out = (
             pts.select(*derived)
             .repartitionByRange(n_parts, "sort_key", "key")
             .sortWithinPartitions("sort_key", "key")
         )
-    if materialize:
-        # realize the final table, then free the build-internal caches (the
-        # loop cache and the fused staging cache are dead once `out` is
-        # cached) — without this, repeated builds in one session pile up
-        # dead cache copies and degrade until the executor store evicts
-        out = out.persist()
-        out.count()
-        if last_cached is not None:
-            last_cached.unpersist()
-        if fused_wide is not None:
-            fused_wide.unpersist()
+        if materialize:
+            out = out.persist()
+            out.count()
+            if last_cached is not None:
+                last_cached.unpersist()
     return LktIndex(
         points=out,
         splits=splits_df,
@@ -422,143 +424,253 @@ def node_depth_py(node_id: int) -> int:
     return (node_id + 1).bit_length() - 1
 
 
+def _node_prefix(g: int, max_depth: int) -> tuple[int, int, int, int]:
+    """(path_len, code, sk, sort_key) of heap node ``g`` — the pure-int
+    prefix constants of its subtree (same bit semantics as
+    functions/morton.fast_derived_cols, unit-tested equal)."""
+    p = g + 1
+    plen = p.bit_length() - 1
+    sk = p - (1 << plen)
+    code = 0
+    for i in range(plen):
+        b = (p >> (plen - 1 - i)) & 1  # 1 ⇔ went right at depth i
+        code |= (1 - b) << i
+    return plen, code, sk, sk << (max_depth - plen)
+
+
+class _ListAccum:
+    """AccumulatorParam collecting lists of split-row dicts."""
+
+    def zero(self, value):
+        return []
+
+    def addInPlace(self, a, b):
+        a.extend(b)
+        return a
+
+
+_TOKEN_CACHE: dict = {}
+
+
+def _verified_tokens(spark, n_parts: int):
+    """Partition tokens for exact driver-planned hash partitioning, or
+    None if this Spark's partitioning expression doesn't match (→ caller
+    falls back to repartitionByRange). Verified once per session."""
+    from linear_kdtree_spark.functions.murmur import (
+        partition_tokens,
+        verify_tokens,
+    )
+
+    key = (id(spark), n_parts)
+    if key not in _TOKEN_CACHE:
+        try:
+            toks = partition_tokens(n_parts)
+            _TOKEN_CACHE[key] = toks if verify_tokens(spark, toks) else None
+        except Exception:
+            _TOKEN_CACHE[key] = None
+    return _TOKEN_CACHE[key]
+
+
 def _local_finish_fused(
     spark, pts, depth, max_depth, strategy, min_split, coord_type,
-    num_partitions=None,
+    num_partitions, node_counts, split_ids,
 ) -> tuple[DataFrame, list[dict]]:
-    """Phase 2 of the hybrid build, FUSED with the terminal kd ordering:
-    every active node's subtree fits in one task, so ONE range shuffle keyed
-    on each subtree's sort_key-interval start both co-locates whole
-    subtrees (equal keys always land in one range partition) and places the
-    partitions in global kd order; a mapInPandas pass then finishes each
-    subtree with the serial canonical algorithm (oracle.build_oracle, axis
-    parity shifted by the global depth) and remaps local heap ids into the
-    global numbering:
+    """Phase 2 of the hybrid build, fused with the terminal kd ordering —
+    ONE shuffle and ONE pass from the loop state to the final, materialized,
+    kd-ordered index table:
 
-        global_node + 1 = (g + 1) · 2^p  +  local_path_bits
-
-    vs the round-1 shape (groupBy.applyInPandas shuffle → two cache
-    rewrites → range-sample pass → second full-data shuffle), this is one
-    shuffle + one cache write; the caller's terminal sort becomes a
-    partition-local sortWithinPartitions. Split rows ride along as kind=1
-    rows (tiny: one per ~leaf_size points)."""
+    1. **Driver-planned shuffle, no sampling pass.** The per-level stats
+       already give every live subtree's exact row count, so the driver
+       packs subtrees (in sort_key order) into ``n_parts`` bins of
+       ~equal rows and routes each subtree to its chosen partition INDEX
+       with a murmur3 token tag (functions/murmur.py; verified against
+       the JVM, falling back to repartitionByRange(_subtree_lo) which
+       needs an extra full sampling scan). Exact packing by known counts
+       also beats sampled quantiles under skew — the straggler bound is
+       max(subtree) instead of a sampling artifact.
+    2. **One mapInPandas pass emits the FINAL table.** Each partition
+       pre-sorts its rows by (node, key), finishes every subtree with the
+       serial canonical algorithm (oracle.build_local_fast — bit-identical
+       to build_oracle, O(n·depth)), remaps local heap ids into the global
+       numbering (global_node + 1 = (g + 1)·2^p + local_path_bits), and
+       composes path_len/code/sort_key from the subtree's integer prefix
+       constants — emitting rows already in exact kd order (subtrees by
+       sort_key-interval start, rows by (sort_key, key)). No staging
+       cache, no derived-column pass, no terminal sort.
+    3. **Split rows return via an accumulator** (one per ~leaf_size
+       points), deduped by node_id so a cache-eviction recompute cannot
+       double-add. The count action that materializes the output is the
+       same action that delivers them.
+    """
     import numpy as np
     import pandas as pd
 
     from linear_kdtree_spark.functions.morton import fast_derived_cols
-    from linear_kdtree_spark.oracle import build_oracle
+    from linear_kdtree_spark.oracle import build_local_fast
 
     level_lo = (1 << depth) - 1
     local_strategy = "median" if strategy == "median_approx" else strategy
     dtype = np.float32 if coord_type == "float" else np.float64
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
     out_schema = (
-        f"kind int, key long, x {coord_type}, y {coord_type}, node long, "
-        "sdepth int, axis int, value double, n_left long, n_right long"
-    )
-    _, _, lo_expr = fast_derived_cols(F.col("node"), max_depth)
-    src = (
-        pts.select("key", "x", "y", "node")
-        .withColumn("_subtree_lo", lo_expr)
-        .repartitionByRange(n_parts, "_subtree_lo")
-        .drop("_subtree_lo")
+        f"key long, x {coord_type}, y {coord_type}, node long, "
+        "path_len int, code long, sort_key long"
     )
 
+    # live subtrees = counted nodes that never split; pack by exact size
+    live = {
+        int(g): int(c) for g, c in node_counts.items() if g not in split_ids
+    }
+    total = sum(live.values())
+    ordered = sorted(live, key=lambda g: _node_prefix(g, max_depth)[3])
+    budget = max(1, -(-total // n_parts))
+    bins: list[list[int]] = [[]]
+    size = 0
+    for g in ordered:
+        if size and size + live[g] > budget and len(bins) < n_parts:
+            bins.append([])
+            size = 0
+        bins[-1].append(g)
+        size += live[g]
+
+    debug = os.environ.get("SPARK_GRAFT_BUILD_DEBUG")
+    t0 = time.time()
+    tokens = _verified_tokens(spark, n_parts)
+    if debug:
+        print(f"[fused] token verify: {time.time() - t0:.1f}s")
+    base = pts.select("key", "x", "y", "node")
+    if tokens is not None:
+        route = [
+            (g, tokens[b]) for b, members in enumerate(bins) for g in members
+        ]
+        rdf = spark.createDataFrame(route, "node long, _tok long")
+        src = (
+            base.join(F.broadcast(rdf), "node")
+            .repartition(n_parts, "_tok")
+            .drop("_tok")
+        )
+    else:  # pragma: no cover - JVM partitioning changed; keep correctness
+        _, _, lo_expr = fast_derived_cols(F.col("node"), max_depth)
+        src = (
+            base.withColumn("_subtree_lo", lo_expr)
+            .repartitionByRange(n_parts, "_subtree_lo")
+            .drop("_subtree_lo")
+        )
+
+    acc = spark.sparkContext.accumulator([], _ListAccum())
+
     def finish(batches):
+        t_start = time.time()
         chunks = list(batches)
         if not chunks:
             return
+        t_drain = time.time() - t_start
         pdf = pd.concat(chunks, ignore_index=True)
+        keys = pdf["key"].to_numpy()
         nodes = pdf["node"].to_numpy()
-        order = np.argsort(nodes, kind="stable")
-        pdf = pdf.iloc[order]
+        # (node, key) pre-sort: groups become contiguous AND each leaf's
+        # rows end up key-ordered (stable local build preserves it)
+        order = np.lexsort((keys, nodes))
+        keys = keys[order]
         nodes = nodes[order]
+        xs = pdf["x"].to_numpy()[order]
+        ys = pdf["y"].to_numpy()[order]
         uniq, starts = np.unique(nodes, return_index=True)
-        edges = np.append(starts, len(pdf))
-        for gi, g in enumerate(uniq):
-            sub = pdf.iloc[edges[gi]:edges[gi + 1]]
-            g = int(g)
+        edges = np.append(starts, len(keys))
+        groups = sorted(
+            range(len(uniq)),
+            key=lambda i: _node_prefix(int(uniq[i]), max_depth)[3],
+        )
+        frames = []
+        srows = []
+        for gi in groups:
+            g = int(uniq[gi])
+            s, e = edges[gi], edges[gi + 1]
+            plen_g, code_g, sk_g, _ = _node_prefix(g, max_depth)
             if g < level_lo:
-                # subtree went inactive at an earlier level — passthrough
-                yield pd.DataFrame(
-                    {
-                        "kind": np.int32(0),
-                        "key": sub["key"].to_numpy(),
-                        "x": sub["x"].to_numpy(),
-                        "y": sub["y"].to_numpy(),
-                        "node": np.int64(g),
-                        "sdepth": np.int32(-1),
-                        "axis": np.int32(-1),
-                        "value": np.float64(0.0),
-                        "n_left": np.int64(-1),
-                        "n_right": np.int64(-1),
-                    }
+                # went inactive at an earlier level — no further splits
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "key": keys[s:e],
+                            "x": xs[s:e],
+                            "y": ys[s:e],
+                            "node": np.int64(g),
+                            "path_len": np.int32(plen_g),
+                            "code": np.int64(code_g),
+                            "sort_key": np.int64(
+                                sk_g << (max_depth - plen_g)
+                            ),
+                        }
+                    )
                 )
                 continue
-            res = build_oracle(
-                sub["x"].to_numpy(),
-                sub["y"].to_numpy(),
+            res = build_local_fast(
+                xs[s:e],
+                ys[s:e],
                 max_depth=max_depth - depth,
                 strategy=local_strategy,
                 depth_offset=depth,
                 min_split=min_split,
                 coord_dtype=dtype,
             )
-            p = res.path_len
-            two_p = np.int64(1) << p
-            points = pd.DataFrame(
-                {
-                    "kind": np.int32(0),
-                    "key": sub["key"].to_numpy(),
-                    "x": sub["x"].to_numpy(),
-                    "y": sub["y"].to_numpy(),
-                    "node": (g + 1) * two_p + (res.node + 1 - two_p) - 1,
-                    "sdepth": np.int32(-1),
-                    "axis": np.int32(-1),
-                    "value": np.float64(0.0),
-                    "n_left": np.int64(-1),
-                    "n_right": np.int64(-1),
-                }
+            kd = res.kd_perm
+            lp = res.path_len[kd]
+            plen = plen_g + lp
+            sk_glob = (np.int64(sk_g) << lp) | res.sk[kd]
+            two_p = np.int64(1) << lp
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "key": keys[s:e][kd],
+                        "x": xs[s:e][kd],
+                        "y": ys[s:e][kd],
+                        "node": (g + 1) * two_p + (res.node[kd] + 1 - two_p) - 1,
+                        "path_len": plen.astype(np.int32),
+                        "code": np.int64(code_g) | (res.code[kd] << plen_g),
+                        "sort_key": sk_glob << (max_depth - plen),
+                    }
+                )
             )
-            srows = []
-            for nid, s in res.splits.items():
+            for nid, sp in res.splits.items():
                 ps = (nid + 1).bit_length() - 1
                 srows.append(
                     {
-                        "kind": 1,
-                        "key": -1,
-                        "x": 0.0,
-                        "y": 0.0,
-                        "node": ((g + 1) << ps) + (nid + 1 - (1 << ps)) - 1,
-                        "sdepth": depth + s.depth,
-                        "axis": s.axis,
-                        "value": float(s.value),
-                        "n_left": s.n_left,
-                        "n_right": s.n_right,
+                        "node_id": ((g + 1) << ps) + (nid + 1 - (1 << ps)) - 1,
+                        "depth": depth + sp.depth,
+                        "axis": sp.axis,
+                        "value": float(sp.value),
+                        "n_left": sp.n_left,
+                        "n_right": sp.n_right,
                     }
                 )
-            if srows:
-                points = pd.concat(
-                    [points, pd.DataFrame(srows)], ignore_index=True
-                )
-            yield points
+        if srows:
+            acc.add(srows)
+        if os.environ.get("SPARK_GRAFT_BUILD_DEBUG"):
+            print(
+                f"[finish] rows={len(keys)} groups={len(uniq)} "
+                f"drain={t_drain:.1f}s total={time.time() - t_start:.1f}s",
+                flush=True,
+            )
+        yield pd.concat(frames, ignore_index=True)
 
-    wide = src.mapInPandas(finish, out_schema).persist()
-    local_split_rows = [
-        {
-            "node_id": int(r["node"]),
-            "depth": int(r["sdepth"]),
-            "axis": int(r["axis"]),
-            "value": float(r["value"]),
-            "n_left": int(r["n_left"]),
-            "n_right": int(r["n_right"]),
-        }
-        for r in wide.filter(F.col("kind") == 1)
-        .select("node", "sdepth", "axis", "value", "n_left", "n_right")
-        .collect()
-    ]
-    points = wide.filter(F.col("kind") == 0).select("key", "x", "y", "node")
-    return points, local_split_rows, wide
+    debug = os.environ.get("SPARK_GRAFT_BUILD_DEBUG")
+    t0 = time.time()
+    out = src.mapInPandas(finish, out_schema).persist()
+    n_out = out.count()
+    if debug:
+        print(f"[fused] shuffle+finish+materialize: {time.time() - t0:.1f}s")
+    if total and n_out != total:  # pragma: no cover - invariant guard
+        raise AssertionError(
+            f"fused finish row count {n_out} != expected {total}"
+        )
+    seen: set[int] = set()
+    local_split_rows = []
+    for r in acc.value:
+        if r["node_id"] not in seen:
+            seen.add(r["node_id"])
+            local_split_rows.append(r)
+    return out, local_split_rows
 
 
 def _checkpoint_level(

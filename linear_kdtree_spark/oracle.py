@@ -62,14 +62,28 @@ class OracleResult:
 def split_value(values: np.ndarray, strategy: str) -> float:
     """Canonical split value for one node.
 
-    ``mean``   — exact mean in float64 (the deterministic superset of the
-                 reference's systematic sample, nocuda.cpp:27-48).
+    ``mean``   — mean in float64, QUANTIZED to the coordinate type for
+                 float32 builds (reference stores splits as ``ord_t``,
+                 lkt.h:13): a last-ulp float64 summation-order difference
+                 between engines almost never survives float32 rounding,
+                 which is what makes the mean split reproducible across
+                 numpy / Spark AVG / DuckDB AVG regardless of their
+                 summation orders (the quantization is applied by every
+                 implementation: here, operators/build._split_stats, and
+                 the f32 unrolled-CTE oracle in entry.py).
     ``median`` — discrete upper median: sorted[n // 2], an actual data value
                  (bit-exact across engines; the distributed build's
                  window-based exact-median computes the same element).
     """
     if strategy == "mean":
-        return float(np.mean(values.astype(np.float64)))
+        # np.sum(…, dtype=f64) == np.mean(values.astype(f64)) bit-exactly
+        # (same pairwise reduction tree, each leaf add converts exactly)
+        # without materializing a float64 copy per node — the copy was the
+        # top cost of deep skewed local builds (2.4 s / 2.2 M points)
+        m = np.sum(values, dtype=np.float64) / len(values)
+        if values.dtype == np.float32:
+            m = np.float64(np.float32(m))
+        return float(m)
     if strategy == "median":
         return float(np.sort(values)[len(values) // 2])
     raise ValueError(f"unknown split strategy: {strategy}")
@@ -153,6 +167,111 @@ def build_oracle(
         sort_key=sort_key,
         max_depth=max_depth,
     )
+
+
+def build_local_fast(
+    x: np.ndarray,
+    y: np.ndarray,
+    max_depth: int = MAX_DEPTH,
+    strategy: str = "mean",
+    depth_offset: int = 0,
+    min_split: int = 2,
+    coord_dtype=np.float32,
+) -> OracleResult:
+    """Bit-identical fast twin of :func:`build_oracle` — the hot path of
+    the hybrid build's fused local finish (operators/build.py).
+
+    ``build_oracle`` re-sorts ALL active points by node id every level
+    (O(n log n · depth) with thousands of ``np.split`` views at deep
+    levels; measured 21 s for a 3 M-point subtree). This version keeps
+    each node's points contiguous via an explicit-stack in-place STABLE
+    partition — O(n · depth) contiguous numpy ops. Identity holds because
+    a stable partition preserves each subset's relative order, so every
+    ``np.mean`` / ``np.sort`` sees the identical value sequence and every
+    split value is bit-equal (differential-tested in
+    tests/test_oracle.py).
+
+    Extra: ``result.kd_perm`` — indices in physical kd order (left
+    subtree first = depth-first layout, ties by original position), free
+    from the partition layout; equals ``result.kd_order()``.
+    """
+    n = len(x)
+    xs = np.array(x, dtype=coord_dtype)  # working copies, partition order
+    ys = np.array(y, dtype=coord_dtype)
+    orig = np.arange(n, dtype=np.int64)
+    # leaf attributes in partition order — written ONCE per finished leaf
+    # (all points of a leaf share node/path_len/code/sk), instead of six
+    # fancy-index scatters per level
+    node_p = np.zeros(n, dtype=np.int64)
+    plen_p = np.zeros(n, dtype=np.int64)
+    code_p = np.zeros(n, dtype=np.int64)
+    sk_p = np.zeros(n, dtype=np.int64)
+    splits: dict[int, OracleSplit] = {}
+
+    # (start, end, depth, node_id, code_acc, sk_acc); left pushed LAST so
+    # it pops first — traversal order does not affect results, only cache
+    # locality; contiguous-slice views keep every op copy-light
+    stack = [(0, n, 0, 0, 0, 0)]
+    while stack:
+        s, e, d, nid, code_acc, sk_acc = stack.pop()
+        cnt = e - s
+        leaf = True
+        if cnt >= min_split and d < max_depth:
+            axis = (d + depth_offset) % 2
+            vals = (xs if axis == 0 else ys)[s:e]
+            sv = split_value(vals, strategy)
+            left = vals < sv
+            nl = int(left.sum())
+            # degenerate = one side empty (reference nocuda.cpp:97-100)
+            if nl != 0 and nl != cnt:
+                leaf = False
+                splits[nid] = OracleSplit(
+                    node_id=nid, depth=d, axis=axis, value=sv,
+                    n_left=nl, n_right=cnt - nl,
+                )
+                right = ~left
+                for arr in (xs, ys, orig):
+                    seg = arr[s:e]
+                    part = np.concatenate((seg[left], seg[right]))
+                    arr[s:e] = part  # stable: each side keeps input order
+                stack.append(
+                    (s + nl, e, d + 1, 2 * nid + 2, code_acc,
+                     (sk_acc << 1) | 1)
+                )
+                stack.append(
+                    (s, s + nl, d + 1, 2 * nid + 1, code_acc | (1 << d),
+                     sk_acc << 1)
+                )
+        if leaf:
+            node_p[s:e] = nid
+            plen_p[s:e] = d
+            code_p[s:e] = code_acc
+            sk_p[s:e] = sk_acc
+
+    for nid, sp in splits.items():
+        if 2 * nid + 1 in splits:
+            sp.left_child = 2 * nid + 1
+        if 2 * nid + 2 in splits:
+            sp.right_child = 2 * nid + 2
+
+    # scatter back to original point order (build_oracle's contract); the
+    # partition order itself is exactly kd order (left subtree first,
+    # within-leaf stable), so orig doubles as kd_perm
+    inv = np.empty(n, dtype=np.int64)
+    inv[orig] = np.arange(n, dtype=np.int64)
+    node = node_p[inv]
+    path_len = plen_p[inv]
+    res = OracleResult(
+        splits=splits,
+        node=node,
+        path_len=path_len,
+        code=code_p[inv],
+        sk=sk_p[inv],
+        sort_key=sk_p[inv] << (max_depth - path_len),
+        max_depth=max_depth,
+    )
+    res.kd_perm = orig
+    return res
 
 
 def codes_from_tree(

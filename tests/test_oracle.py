@@ -113,3 +113,51 @@ def test_point_in_polygon_square():
     assert point_in_polygon(5, 5, sq)
     assert not point_in_polygon(15, 5, sq)
     assert not point_in_polygon(-1, -1, sq)
+
+
+def test_build_local_fast_bit_identical_to_oracle():
+    """The fused finish's hot path (O(n·depth) in-place partition build)
+    must reproduce build_oracle EXACTLY — every array, every split, every
+    tie — across strategies, coord types, depth offsets, leaf sizes, and
+    adversarial inputs (duplicates, all-equal, tiny n)."""
+    from linear_kdtree_spark.oracle import build_local_fast
+
+    rng = np.random.default_rng(7)
+    cases = [
+        (rng.uniform(-180, 180, n), rng.uniform(-85, 85, n))
+        for n in (1, 2, 5, 1000, 30000)
+    ]
+    cases.append(
+        (np.repeat(rng.uniform(-10, 10, 50), 20),
+         np.repeat(rng.uniform(-5, 5, 50), 20))  # heavy duplicates
+    )
+    cases.append((np.zeros(500), np.zeros(500)))  # fully degenerate
+    for i, (x, y) in enumerate(cases):
+        for strat in ("mean", "median"):
+            for dt in (np.float32, np.float64):
+                for off in (0, 3):
+                    for ms in (2, 17):
+                        a = build_oracle(
+                            x, y, max_depth=12, strategy=strat,
+                            depth_offset=off, min_split=ms, coord_dtype=dt,
+                        )
+                        b = build_local_fast(
+                            x, y, max_depth=12, strategy=strat,
+                            depth_offset=off, min_split=ms, coord_dtype=dt,
+                        )
+                        ctx = (i, strat, dt, off, ms)
+                        assert np.array_equal(a.node, b.node), ctx
+                        assert np.array_equal(a.code, b.code), ctx
+                        assert np.array_equal(a.sort_key, b.sort_key), ctx
+                        assert np.array_equal(a.path_len, b.path_len), ctx
+                        assert set(a.splits) == set(b.splits), ctx
+                        for k in a.splits:
+                            sa, sb = a.splits[k], b.splits[k]
+                            assert (
+                                sa.value, sa.n_left, sa.n_right, sa.depth,
+                                sa.axis, sa.left_child, sa.right_child,
+                            ) == (
+                                sb.value, sb.n_left, sb.n_right, sb.depth,
+                                sb.axis, sb.left_child, sb.right_child,
+                            ), (ctx, k)
+                        assert np.array_equal(a.kd_order(), b.kd_perm), ctx

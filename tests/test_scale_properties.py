@@ -92,16 +92,17 @@ def test_build_plan_has_no_python(spark):
 
 
 def test_fused_build_plan_single_shuffle(spark):
-    """Hybrid path: the ONLY full-data shuffle is the subtree range
-    partition feeding the fused local finish; the terminal kd order is a
-    partition-local sort (no rangepartitioning(sort_key) exchange, no
-    scalar-UDF Python)."""
+    """Hybrid path: the ONLY full-data shuffle is the driver-planned
+    hash partition (murmur token routing — NO range-sampling pass at all)
+    feeding the fused local finish, which emits the final kd-ordered
+    table directly (no terminal sort exchange, no scalar-UDF Python)."""
     pts = _skewed_points(spark, 2000)
     idx = lkt_build(pts, max_depth=8, strategy="mean", leaf_size=32)
     plan = idx.points._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
-    assert "rangepartitioning(_subtree_lo" in plan
-    assert "rangepartitioning(sort_key" not in plan
+    assert "rangepartitioning" not in plan  # no sampling scan anywhere
+    assert "hashpartitioning(_tok" in plan
+    assert "Sort" not in plan.split("MapInPandas")[0]  # no post-pass sort
     # global kd order must still hold: ascending sort_key across the
     # partition sequence
     parts = idx.points.select("sort_key").rdd.glom().collect()
