@@ -361,6 +361,88 @@ def q_tile_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s2_cells_from_face_uv(base, 30).select("key", "s2_cell")
 
 
+# deterministic icosahedron-face gnomonic coordinates from lineitem keys
+# (int arithmetic + one exact division; radius ≤ ~0.99 exercises both
+# interior cells and the clamped face-boundary descent)
+HEX_XY_SQL = """
+SELECT key, key % 20 AS face,
+  CAST((key * 48271 + 7) % 14001 - 7000 AS DOUBLE) / 10000.0 AS hx,
+  CAST((key * 69621 + 11) % 14001 - 7000 AS DOUBLE) / 10000.0 AS hy
+FROM (SELECT l_orderkey * 8 + l_linenumber AS key FROM lineitem) base
+""".strip()
+
+HEX_RES = 7
+
+
+def q_tile_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch aperture-7 icosahedral hex cells (functions/hexgrid.py)
+    at res 7: the trig-free (face, x, y) → id core, gated bit-exactly
+    against a DuckDB oracle that unrolls the per-level nearest-of-7-children
+    descent. The lat/lng trig front-end is pytest-verified
+    (tests/test_hexgrid.py) — trig is not bit-reproducible across engines,
+    the rest is."""
+    from linear_kdtree_spark.operators.tile import hex_cells_from_face_xy
+
+    load_views(spark, sf_dir, ("lineitem",))
+    base = spark.sql(HEX_XY_SQL)
+    return hex_cells_from_face_xy(base, HEX_RES).select("key", "hex_cell")
+
+
+def tile_hex_oracle_sql(res: int = HEX_RES) -> str:
+    """Independent DuckDB twin of the hexgrid core: identical double
+    expressions for the fractional axial coords and hex-metric distances,
+    integer child bookkeeping, LEAST + first-match digit selection (≡ the
+    engine's strict-< scan), one CTE level per resolution step."""
+    import numpy as np
+
+    from linear_kdtree_spark.functions.hexgrid import (
+        AP7,
+        DIGIT_DIRS,
+        INV_SQRT3,
+    )
+
+    sql = f"""WITH base AS ({HEX_XY_SQL}),
+h0 AS (SELECT key,
+  hx * {INV_SQRT3!r} - hy * {1.0 / 3.0!r} AS i0,
+  hy * {2.0 / 3.0!r} AS j0,
+  CAST(0 AS BIGINT) AS vi, CAST(0 AS BIGINT) AS vj,
+  CAST({res} AS BIGINT) * {1 << 50} + (key % 20) * CAST({1 << 45} AS BIGINT) AS acc
+FROM base)"""
+    ak = np.eye(2, dtype=np.int64)
+    for k in range(1, res + 1):
+        ak = AP7 @ ak
+        dists = []
+        for d, (di, dj) in enumerate(DIGIT_DIRS.tolist()):
+            ei = f"(pi + {di} - fi)"
+            ej = f"(pj + {dj} - fj)"
+            dists.append(f"{ei} * {ei} + {ei} * {ej} + {ej} * {ej} AS d{d}")
+        dig_case = " ".join(f"WHEN d{d} = m THEN {d}" for d in range(7))
+        vi_case = " ".join(
+            f"WHEN {d} THEN pi + {int(di)}"
+            for d, (di, dj) in enumerate(DIGIT_DIRS.tolist())
+        )
+        vj_case = " ".join(
+            f"WHEN {d} THEN pj + {int(dj)}"
+            for d, (di, dj) in enumerate(DIGIT_DIRS.tolist())
+        )
+        sql += f""",
+h{k} AS (SELECT key, i0, j0,
+  CASE dig {vi_case} END AS vi,
+  CASE dig {vj_case} END AS vj,
+  acc + dig * CAST({1 << (45 - 3 * k)} AS BIGINT) AS acc
+FROM (SELECT *, CASE {dig_case} END AS dig
+  FROM (SELECT *, LEAST(d0, d1, d2, d3, d4, d5, d6) AS m
+    FROM (SELECT key, i0, j0, pi, pj, acc, {", ".join(dists)}
+      FROM (SELECT key, i0, j0, acc,
+        2 * vi - vj AS pi, vi + 3 * vj AS pj,
+        {int(ak[0, 0])} * i0 + {int(ak[0, 1])} * j0 AS fi,
+        {int(ak[1, 0])} * i0 + {int(ak[1, 1])} * j0 AS fj
+      FROM h{k - 1}) a) b) c) e)"""
+    pad = sum(7 << (45 - 3 * k) for k in range(res + 1, 16))
+    sql += f"\nSELECT key, acc + {pad} AS hex_cell FROM h{res}"
+    return sql
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs via banded sign-LSH + exact cosine
     refine (threshold 0.95). Gated hash-exact against a brute-force
@@ -792,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "tile_lkt": q_tile_lkt,
         "tile_s2": q_tile_s2,
+        "tile_hex": q_tile_hex,
         "embed_neardup": q_embed_neardup,
     }
     out.update(pipeline_queries())
@@ -822,6 +905,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": sessionize_oracle_sql(),
         "tile_lkt": tile_lkt_oracle_sql(),
         "tile_s2": tile_s2_oracle_sql(),
+        "tile_hex": tile_hex_oracle_sql(),
         "embed_neardup": embed_neardup_oracle_sql(),
     }
     out.update(pipeline_oracles())

@@ -103,9 +103,85 @@ def s2_cells_from_face_uv(
     )
 
 
+def assign_tiles_hex(df: DataFrame, res: int,
+                     lat_col: str = "y", lon_col: str = "x",
+                     out_col: str = "hex_cell") -> DataFrame:
+    """Aperture-7 icosahedral hexagonal cell ids — the engine's own
+    fully-real H3-class index (functions/hexgrid.py: gnomonic projection +
+    hex IJK + aperture-7 nearest-child hierarchy with EXACT nesting).
+    Vectorized numpy per Arrow batch, no per-row Python. Rollups to any
+    coarser res are pure id-prefix truncation (``hex_parent_col``)."""
+    import numpy as np
+
+    from linear_kdtree_spark.functions.hexgrid import (
+        hex_cell_from_face_xy,
+        latlng_to_face_xy,
+    )
+
+    @F.pandas_udf("long")
+    def cell(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        face, x, y = latlng_to_face_xy(
+            lat.to_numpy(dtype=np.float64), lon.to_numpy(dtype=np.float64)
+        )
+        return pd.Series(hex_cell_from_face_xy(face, x, y, res))
+
+    return df.withColumn(out_col, cell(F.col(lat_col), F.col(lon_col)))
+
+
+def hex_cells_from_face_xy(
+    df: DataFrame,
+    res: int,
+    face_col: str = "face",
+    x_col: str = "hx",
+    y_col: str = "hy",
+    out_col: str = "hex_cell",
+) -> DataFrame:
+    """Hex ids from pre-projected (face, gnomonic x, y) — the trig-free
+    core pinned bit-exactly by the driver gate (int arithmetic plus
+    identically-written double mul/add/compare; functions/hexgrid.py)."""
+    import numpy as np
+
+    from linear_kdtree_spark.functions.hexgrid import hex_cell_from_face_xy
+
+    @F.pandas_udf("long")
+    def cell(face: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(
+            hex_cell_from_face_xy(
+                face.to_numpy(dtype=np.int64),
+                x.to_numpy(dtype=np.float64),
+                y.to_numpy(dtype=np.float64),
+                res,
+            )
+        )
+
+    return df.withColumn(out_col, cell(F.col(face_col), F.col(x_col), F.col(y_col)))
+
+
+def hex_parent_col(cell: F.Column, parent_res: int) -> F.Column:
+    """Parent hex id as a pure column expression: keep res/face bits plus
+    the first ``parent_res`` digits, set the rest to 7 (the same prefix
+    truncation functions/hexgrid.hex_parent does — exact nesting makes
+    multi-resolution rollup a groupBy on this expression, no recompute)."""
+    from linear_kdtree_spark.functions.hexgrid import MAX_RES
+
+    keep_digits = sum(0x7 << (45 - 3 * k) for k in range(1, parent_res + 1))
+    pad = sum(7 << (45 - 3 * k) for k in range(parent_res + 1, MAX_RES + 1))
+    return (
+        (F.lit(parent_res).cast("long") * F.lit(1 << 50))
+        + cell.bitwiseAND(F.lit(0x1F << 45))
+        + cell.bitwiseAND(F.lit(keep_digits))
+        + F.lit(pad)
+    ).cast("long")
+
+
 def assign_tiles_h3(df: DataFrame, resolution: int,
                     lat_col: str = "y", lon_col: str = "x") -> DataFrame:
-    """True H3 cell ids (interop). Requires the ``h3`` python package."""
+    """Uber-H3 id interop. Requires the ``h3`` python package: H3's 122
+    base-cell permutation tables are arbitrary published enumeration
+    constants that cannot be re-derived from the construction offline
+    (unlike S2's Hilbert tables, functions/s2.py). The engine's own
+    hex index — same icosahedral aperture-7 mathematics, exact nesting,
+    driver-gated — is :func:`assign_tiles_hex`."""
     try:
         import h3  # noqa: F401
     except ImportError as e:  # pragma: no cover - h3 not in container
