@@ -612,8 +612,115 @@ SELECT query_id, vec_id, rank FROM r WHERE rank <= {ANN_K}
 
 # ------------------------------------------------------------------ surface
 
+# --------------------------------------------------------------------------
+# multimodal decode gate: formula → encode → REAL decode → stats, vs the
+# formula computed directly in SQL. Any header/padding/row-order/channel-
+# order bug in the codecs (functions/mediacodec.py) flips the
+# order-sensitive checksum; roundtrip-match proves decode ∘ encode = id,
+# format-vs-spec correctness is pinned by byte-literal fixtures in
+# tests/test_multimodal.py.
+# --------------------------------------------------------------------------
+
+MM_DOCS = 200
+MM_PPM_W, MM_PPM_H = 16, 8            # 384 values
+MM_BMP_W, MM_BMP_H = 13, 5            # 39-byte rows → exercises 4-byte pad
+MM_WAV_N, MM_WAV_CH = 77, 2           # int16 stereo
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fmt, n_values, sum_values, min_val, max_val, checksum) per
+    synthesized payload; checksum = Σ v_k · (k mod 97) over the DECODED
+    logical order (PPM/BMP: row-major top-down RGB; WAV: interleaved)."""
+    import pandas as pd
+
+    load_views(spark, sf_dir, ("documents",))
+    ids = spark.table("documents").select("doc_id").filter(
+        F.col("doc_id") < MM_DOCS
+    )
+    schema = (
+        "doc_id long, fmt string, n_values long, sum_values long, "
+        "min_val long, max_val long, checksum long"
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        from linear_kdtree_spark.functions.mediacodec import (
+            encode_bmp,
+            encode_ppm,
+            encode_wav,
+        )
+        from linear_kdtree_spark.operators.multimodal import (
+            decode_audio,
+            decode_image,
+        )
+
+        def stats(doc_id, fmt, values):
+            v = values.astype(np.int64).ravel()
+            k = np.arange(len(v), dtype=np.int64)
+            return {
+                "doc_id": doc_id,
+                "fmt": fmt,
+                "n_values": len(v),
+                "sum_values": int(v.sum()),
+                "min_val": int(v.min()),
+                "max_val": int(v.max()),
+                "checksum": int((v * (k % 97)).sum()),
+            }
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                d = int(doc_id)
+                k = np.arange(MM_PPM_W * MM_PPM_H * 3, dtype=np.int64)
+                ppm = ((d * 31 + k * 2654435761) % 256).astype(np.uint8)
+                img = decode_image(
+                    encode_ppm(ppm.reshape(MM_PPM_H, MM_PPM_W, 3))
+                )
+                rows.append(stats(d, "ppm", img))
+
+                k = np.arange(MM_BMP_W * MM_BMP_H * 3, dtype=np.int64)
+                bmp = ((d * 17 + k * 1013904223) % 256).astype(np.uint8)
+                img = decode_image(
+                    encode_bmp(bmp.reshape(MM_BMP_H, MM_BMP_W, 3))
+                )
+                rows.append(stats(d, "bmp", img))
+
+                k = np.arange(MM_WAV_N * MM_WAV_CH, dtype=np.int64)
+                wav = (((d * 7 + k * 48271) % 65536) - 32768).astype(np.int16)
+                samples, rate = decode_audio(
+                    encode_wav(wav.reshape(MM_WAV_N, MM_WAV_CH), 16000)
+                )
+                assert rate == 16000
+                rows.append(stats(d, "wav", samples))
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(kernel, schema)
+
+
+def multimodal_decode_oracle_sql() -> str:
+    parts = []
+    for fmt, n, formula in (
+        ("ppm", MM_PPM_W * MM_PPM_H * 3, "(d.doc_id * 31 + t.k * 2654435761) % 256"),
+        ("bmp", MM_BMP_W * MM_BMP_H * 3, "(d.doc_id * 17 + t.k * 1013904223) % 256"),
+        ("wav", MM_WAV_N * MM_WAV_CH,
+         "((d.doc_id * 7 + t.k * 48271) % 65536) - 32768"),
+    ):
+        parts.append(f"""
+SELECT d.doc_id, '{fmt}' AS fmt,
+  COUNT(*) AS n_values,
+  CAST(SUM({formula}) AS BIGINT) AS sum_values,
+  MIN({formula}) AS min_val, MAX({formula}) AS max_val,
+  CAST(SUM(({formula}) * (t.k % 97)) AS BIGINT) AS checksum
+FROM (SELECT doc_id FROM documents WHERE doc_id < {MM_DOCS}) d
+CROSS JOIN (SELECT CAST(range AS BIGINT) AS k FROM range(0, {n})) t
+GROUP BY d.doc_id""".strip())
+    return "\nUNION ALL\n".join(parts)
+
+
 def pipeline_queries():
     return {
+        "multimodal_decode": q_multimodal_decode,
         "text_stats": q_text_stats,
         "quality": q_quality,
         "lang_id": q_lang_id,
@@ -636,6 +743,7 @@ def pipeline_queries():
 
 def pipeline_oracles():
     return {
+        "multimodal_decode": multimodal_decode_oracle_sql(),
         "text_stats": text_stats_oracle_sql(),
         "quality": quality_oracle_sql(),
         "lang_id": lang_id_oracle_sql(),

@@ -2,12 +2,13 @@
 columns with typed metadata, processed through Arrow-batched ``mapInPandas``
 kernels.
 
-The decode step itself is STUBBED (pillow/ffmpeg/librosa are not in this
-container): `decode_image` raises NotImplementedError unless
-``fake=True``, in which case a deterministic synthetic decode (bytes →
-seeded pixel statistics) stands in so the Spark-side plumbing — schema,
-partitioning, UDF signature, Arrow batch shape — is real and tested
-end-to-end. Swapping in a real codec is a one-function change.
+Uncompressed formats decode FOR REAL via the from-scratch numpy codecs in
+functions/mediacodec.py (PPM/PGM, BMP, WAV — driver-gated end-to-end by
+`multimodal_decode`, which pins pixel/sample statistics to a DuckDB
+formula oracle). Genuinely compressed formats (PNG/JPEG/MP3 — pillow/
+ffmpeg/librosa are not in this container) remain the documented
+NotImplementedError boundary; ``fake=True`` keeps the deterministic
+stand-in for plumbing tests of those.
 
 Scale notes: binary payloads dominate row size — the operators project
 metadata-only where possible (column pruning keeps payload bytes out of
@@ -41,6 +42,10 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
         F.when(magic.startswith("89504E47"), "image/png")
         .when(magic.startswith("FFD8"), "image/jpeg")
         .when(magic.startswith("52494646"), "audio/wav")
+        .when(magic.startswith("5036") | magic.startswith("5035")
+              | magic.startswith("5033") | magic.startswith("5032"),
+              "image/x-portable-anymap")
+        .when(magic.startswith("424D"), "image/bmp")
         .otherwise("application/octet-stream")
     )
     return df.withColumn("byte_len", F.length(p).cast("long")).withColumn(
@@ -56,12 +61,36 @@ def _fake_decode(buf: bytes) -> np.ndarray:
 
 
 def decode_image(buf: bytes, fake: bool = False) -> np.ndarray:
+    """Real decode for uncompressed formats (PPM/PGM/BMP — dispatched on
+    magic bytes, functions/mediacodec.py); NotImplementedError for
+    compressed formats unless ``fake=True`` requests the deterministic
+    stand-in."""
+    from linear_kdtree_spark.functions.mediacodec import (
+        decode_bmp,
+        decode_ppm,
+    )
+
+    buf = bytes(buf)
+    if buf[:1] == b"P" and buf[1:2] in b"2356":
+        img = decode_ppm(buf)
+        return img if img.ndim == 3 else img[:, :, None]
+    if buf[:2] == b"BM":
+        return decode_bmp(buf)
     if fake:
         return _fake_decode(buf)
     raise NotImplementedError(
-        "image codecs not available in this container; pass fake=True for "
-        "the deterministic stand-in decode"
+        "compressed-format codecs (PNG/JPEG) are not available in this "
+        "container; uncompressed PPM/PGM/BMP decode natively — pass "
+        "fake=True for the deterministic stand-in on other formats"
     )
+
+
+def decode_audio(buf: bytes):
+    """(samples (N, ch), rate) for RIFF/WAVE payloads
+    (functions/mediacodec.decode_wav)."""
+    from linear_kdtree_spark.functions.mediacodec import decode_wav
+
+    return decode_wav(bytes(buf))
 
 
 def extract_image_features(

@@ -1,0 +1,177 @@
+"""Format-vs-spec tests for the from-scratch media codecs
+(functions/mediacodec.py). The fixtures are HAND-WRITTEN byte sequences
+straight from the published format specs (netpbm man pages, Windows
+BITMAPINFOHEADER, RIFF/WAVE) — independent of the encoders — so a
+matching encoder/decoder bug cannot hide (the driver's roundtrip gate
+`multimodal_decode` covers the other failure class)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from linear_kdtree_spark.functions.mediacodec import (
+    decode_bmp,
+    decode_ppm,
+    decode_wav,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+)
+
+
+# ---------------------------------------------------------------------------
+# netpbm
+# ---------------------------------------------------------------------------
+
+def test_ppm_p6_bytes_from_spec():
+    buf = b"P6\n2 1\n255\n\x01\x02\x03\x04\x05\x06"
+    img = decode_ppm(buf)
+    assert img.shape == (1, 2, 3)
+    assert img.tolist() == [[[1, 2, 3], [4, 5, 6]]]
+
+
+def test_ppm_header_comments_and_whitespace():
+    buf = b"P6 # a comment\n# another\n 2\t1 \n255\n\x01\x02\x03\x04\x05\x06"
+    assert decode_ppm(buf).tolist() == [[[1, 2, 3], [4, 5, 6]]]
+
+
+def test_ppm_p3_ascii():
+    img = decode_ppm(b"P3\n2 2\n255\n1 2 3 4 5 6\n7 8 9 10 11 12")
+    assert img.shape == (2, 2, 3)
+    assert img[1, 1].tolist() == [10, 11, 12]
+
+
+def test_pgm_p5_and_p2():
+    assert decode_ppm(b"P5\n3 1\n255\n\x0a\x14\x1e").tolist() == [[10, 20, 30]]
+    assert decode_ppm(b"P2\n3 1\n255\n10 20 30").tolist() == [[10, 20, 30]]
+
+
+def test_ppm_16bit_big_endian():
+    # spec: maxval > 255 → two bytes per sample, most significant first
+    buf = b"P5\n1 1\n65535\n\x01\x02"
+    img = decode_ppm(buf)
+    assert img.dtype == np.uint16 and img[0, 0] == 0x0102
+
+
+def test_ppm_roundtrip_random():
+    rng = np.random.default_rng(3)
+    for shape in ((1, 1, 3), (5, 7, 3), (4, 4)):
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    img16 = rng.integers(0, 65536, size=(3, 2, 3), dtype=np.uint16)
+    assert np.array_equal(decode_ppm(encode_ppm(img16, 65535)), img16)
+
+
+def test_ppm_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_ppm(b"JUNK")
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+def _bmp_bytes(w, h, rows_bgr_padded: bytes, bpp=24):
+    file_header = struct.pack("<2sIHHI", b"BM", 54 + len(rows_bgr_padded), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0,
+                       len(rows_bgr_padded), 0, 0, 0, 0)
+    return file_header + info + rows_bgr_padded
+
+
+def test_bmp_bottom_up_bgr_and_padding_from_spec():
+    # 1×2 image: top pixel RGB(10,20,30), bottom RGB(40,50,60).
+    # File stores BOTTOM row first, BGR order, rows padded to 4 bytes.
+    data = bytes([60, 50, 40, 0]) + bytes([30, 20, 10, 0])
+    img = decode_bmp(_bmp_bytes(1, 2, data))
+    assert img.shape == (2, 1, 3)
+    assert img[0, 0].tolist() == [10, 20, 30]
+    assert img[1, 0].tolist() == [40, 50, 60]
+
+
+def test_bmp_top_down_negative_height():
+    data = bytes([30, 20, 10, 0]) + bytes([60, 50, 40, 0])
+    img = decode_bmp(_bmp_bytes(1, -2, data))
+    assert img[0, 0].tolist() == [10, 20, 30]
+    assert img[1, 0].tolist() == [40, 50, 60]
+
+
+def test_bmp_32bit_alpha_dropped():
+    data = bytes([30, 20, 10, 99, 60, 50, 40, 99])  # one row, two px, BGRA
+    img = decode_bmp(_bmp_bytes(2, 1, data, bpp=32))
+    assert img.shape == (1, 2, 3)
+    assert img[0, 0].tolist() == [10, 20, 30]
+    assert img[0, 1].tolist() == [40, 50, 60]
+
+
+def test_bmp_roundtrip_odd_widths():
+    rng = np.random.default_rng(5)
+    for w in (1, 2, 3, 4, 5, 13):
+        img = rng.integers(0, 256, size=(3, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img), w
+
+
+def test_bmp_rejects_compressed():
+    hdr = struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 1, 1, 1, 24, 1, 0, 0, 0, 0, 0
+    )
+    with pytest.raises(NotImplementedError):
+        decode_bmp(hdr + b"\x00" * 4)
+
+
+# ---------------------------------------------------------------------------
+# WAV
+# ---------------------------------------------------------------------------
+
+def test_wav_pcm16_bytes_from_spec():
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = b"\x01\x00\xfe\xff"  # samples 1, -2 little-endian
+    buf = (b"RIFF" + struct.pack("<I", 4 + 8 + 16 + 8 + 4) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", 4) + data)
+    samples, rate = decode_wav(buf)
+    assert rate == 8000
+    assert samples.ravel().tolist() == [1, -2]
+
+
+def test_wav_chunk_walking_skips_unknown_chunks():
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+    data = struct.pack("<4h", 5, -6, 7, -8)
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # odd → padded
+    buf = (b"RIFF" + struct.pack("<I", 100) + b"WAVE" + junk
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    samples, rate = decode_wav(buf)
+    assert samples.shape == (2, 2)
+    assert samples.tolist() == [[5, -6], [7, -8]]
+
+
+def test_wav_roundtrip_dtypes():
+    rng = np.random.default_rng(7)
+    for dtype, lo, hi in (
+        (np.uint8, 0, 256), (np.int16, -(2**15), 2**15),
+        (np.int32, -(2**31), 2**31),
+    ):
+        s = rng.integers(lo, hi, size=(50, 2)).astype(dtype)
+        out, rate = decode_wav(encode_wav(s, 22050))
+        assert rate == 22050 and np.array_equal(out, s), dtype
+    f = rng.normal(size=(30, 1)).astype(np.float32)
+    out, _ = decode_wav(encode_wav(f))
+    assert np.array_equal(out, f)
+
+
+def test_wav_rejects_non_riff():
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS\x00\x00")
+
+
+def test_decode_image_dispatch():
+    from linear_kdtree_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_ppm(img)), img)
+    assert np.array_equal(decode_image(encode_bmp(img)), img)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+    assert decode_image(b"\x89PNG!!", fake=True).shape == (8, 8, 3)
