@@ -50,9 +50,12 @@ def run_suite(sf_dir: str, cpus: int, reps: int | None = None) -> dict:
     )
     timings: dict[str, float] = {}
     # best-of-N per stage: single shots on this shared host vary ±50 %
-    # (BENCH/SCALING.md) — the per-stage minimum is the noise floor and the
-    # honest per-stage cost. reps=1 keeps the old single-shot behavior.
-    n_reps = reps or int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # (BENCH/SCALING.md; re-measured r3: same build 2.1-17.8 s across 3
+    # consecutive reps) — the per-stage minimum is the noise floor and the
+    # honest per-stage cost. Default 3 so the driver-recorded BENCH_rNN
+    # follows the same best-of-3 protocol as BENCH/SCALING.md (r2 verdict
+    # flagged the 2-vs-3 inconsistency). reps=1 keeps single-shot behavior.
+    n_reps = reps or int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
     def timed(name: str, fn, cleanup=None, stage_reps: int | None = None):
         best, out = None, None
@@ -138,6 +141,9 @@ def run_suite(sf_dir: str, cpus: int, reps: int | None = None) -> dict:
         "sf": sf_dir,
         "points": n_points,
         "cpus": cpus,
+        "amp": amp,
+        "reps": n_reps,
+        "protocol": "per-stage best-of-reps minima (co-tenant noise floor)",
         "build_knn_pip_points_per_sec": round(n_points * 3 / core, 1),
     }
     spark.stop()

@@ -163,7 +163,8 @@ def char_ngrams(text: Column, n: int = 3) -> Column:
 
 
 def corpus_ngram_score(
-    docs, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    docs, text_col: str = "text", id_col: str = "doc_id", n: int = 3,
+    hot_k: int = 1024,
 ):
     """(id, ngram_score): Σ over the doc's character n-grams of that
     n-gram's CORPUS frequency — an integer-valued language-model-style
@@ -172,16 +173,34 @@ def corpus_ngram_score(
     log-probability scoring is not bit-reproducible across engines, this
     is, so it can be hash-gated).
 
-    Scale shape: explode n-grams → one count aggregation (map-side
-    combined) → equi-join back on the n-gram key → per-doc sum. The
-    frequency table is the only shuffled intermediate; at corpus scale it
-    is bucketable by gram."""
+    Scale shape (hot-gram guard, VERDICT r2 #7): explode n-grams → one
+    count aggregation (map-side combined — skew-safe). The join back to
+    the exploded grams is where web-scale skew bites (every doc contains
+    "the"), so the ``hot_k`` most frequent grams are BROADCAST — the skew
+    mass never shuffles — and only the long tail takes the equi-join
+    shuffle, where AQE skew-split covers what little skew remains.
+    Identical result (integer sums are order-free), gated as
+    ``ngram_score``."""
     grams = docs.select(
         F.col(id_col), F.explode(char_ngrams(F.col(text_col), n)).alias("gram")
     )
     freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    hot = F.broadcast(
+        freq.orderBy(F.col("c").desc(), "gram").limit(hot_k)
+        .withColumnRenamed("c", "c_hot")
+    )
+    tagged = grams.join(hot, "gram", "left")
+    hot_part = tagged.filter(F.col("c_hot").isNotNull()).select(
+        id_col, F.col("c_hot").alias("c")
+    )
+    tail_part = (
+        tagged.filter(F.col("c_hot").isNull())
+        .select(id_col, "gram")
+        .join(freq, "gram")
+        .select(id_col, "c")
+    )
     scored = (
-        grams.join(freq, "gram")
+        hot_part.unionByName(tail_part)
         .groupBy(id_col)
         .agg(F.sum("c").alias("ngram_score"))
     )
