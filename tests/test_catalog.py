@@ -75,3 +75,21 @@ def test_save_index_bounds_roundtrip(spark, tmp_path):
         for r in cat.read("b_bounds").collect()
     }
     assert got == idx.tree.node_bounds
+
+
+def test_iceberg_probe_documented(spark):
+    """The Iceberg probe (COVERAGE.md) must run cleanly and report a
+    boolean; in this sandbox no iceberg-spark-runtime jar exists, so the
+    catalog must select the parquet emulation — if a jar ever appears on
+    the classpath, this test flips to asserting real-Iceberg mode works."""
+    from linear_kdtree_spark.sources.catalog import iceberg_available
+
+    avail = iceberg_available(spark)
+    assert isinstance(avail, bool)
+    jvm_has_jar = False
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")
+        jvm_has_jar = True
+    except Exception:
+        pass
+    assert avail == jvm_has_jar
