@@ -718,9 +718,50 @@ GROUP BY d.doc_id""".strip())
     return "\nUNION ALL\n".join(parts)
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition signals (word 1/2/3-grams:
+    totals, distincts, max counts — all integers) over every document."""
+    from linear_kdtree_spark.functions.text import repetition_stats
+
+    load_views(spark, sf_dir, ("documents",))
+    return repetition_stats(spark.table("documents"))
+
+
+def repetition_oracle_sql() -> str:
+    gram_selects = """
+  SELECT doc_id, 1 AS n, UNNEST(ws) AS gram FROM w
+  UNION ALL
+  SELECT doc_id, 2 AS n,
+    UNNEST(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]))
+  FROM w
+  UNION ALL
+  SELECT doc_id, 3 AS n,
+    UNNEST(list_transform(range(1, len(ws) - 1),
+      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+  FROM w""".strip()
+    cols = []
+    for o, nm in ((1, "word"), (2, "bigram"), (3, "trigram")):
+        cols += [
+            f"CAST(COALESCE(MAX(CASE WHEN n = {o} THEN total END), 0) AS BIGINT) AS n_{nm}s",
+            f"CAST(COALESCE(MAX(CASE WHEN n = {o} THEN dist END), 0) AS BIGINT) AS n_distinct_{nm}s",
+            f"CAST(COALESCE(MAX(CASE WHEN n = {o} THEN mx END), 0) AS BIGINT) AS max_{nm}_count",
+        ]
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS ({gram_selects}),
+c AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY doc_id, n, gram),
+s AS (SELECT doc_id, n, CAST(SUM(c) AS BIGINT) AS total, COUNT(*) AS dist,
+             MAX(c) AS mx FROM c GROUP BY doc_id, n)
+SELECT d.doc_id, {", ".join(cols)}
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+GROUP BY d.doc_id
+""".strip()
+
+
 def pipeline_queries():
     return {
         "multimodal_decode": q_multimodal_decode,
+        "repetition": q_repetition,
         "text_stats": q_text_stats,
         "quality": q_quality,
         "lang_id": q_lang_id,
@@ -744,6 +785,7 @@ def pipeline_queries():
 def pipeline_oracles():
     return {
         "multimodal_decode": multimodal_decode_oracle_sql(),
+        "repetition": repetition_oracle_sql(),
         "text_stats": text_stats_oracle_sql(),
         "quality": quality_oracle_sql(),
         "lang_id": lang_id_oracle_sql(),

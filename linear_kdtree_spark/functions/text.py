@@ -216,6 +216,85 @@ def corpus_ngram_score(
     )
 
 
+def repetition_stats(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher/C4-style within-document repetition signals, integer-valued
+    so they hash-gate across engines (`repetition` gate): per doc, for
+    word 1/2/3-grams — total count, distinct count, and the most repeated
+    gram's count. Downstream filters derive the published fractions
+    (top-n-gram fraction = max_count/total; duplicate-gram fraction =
+    1 − distinct/total) without any float leaving the engine.
+
+    Scale shape: ONE scan of the corpus explodes all three gram orders
+    tagged (n, gram) together, then one map-side-combined shuffle on
+    (doc, n, gram) and a tiny second agg — no per-order rescans; skewed
+    hot grams are bounded per doc (the key includes the doc id)."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+
+    def word_grams(order):
+        if order == 1:
+            return words
+        return F.when(
+            n >= order,
+            F.transform(
+                F.sequence(F.lit(0), n - order),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(words, (i + k + 1).cast("int"))
+                      for k in range(order)],
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def tag(order):
+        # closure factory, NOT a defaulted 2-param lambda — transform
+        # treats (g, o) as (element, index) and rebinds the second param
+        # (the round-1 pitfall documented in functions/morton.py history)
+        return lambda g: F.struct(F.lit(order).alias("n"), g.alias("gram"))
+
+    tagged = F.concat(*[F.transform(word_grams(o), tag(o)) for o in (1, 2, 3)])
+    grams = docs.select(
+        F.col(id_col), F.explode(tagged).alias("t")
+    ).select(id_col, F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
+    per_gram = grams.groupBy(id_col, "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_order = per_gram.groupBy(id_col, "n").agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("dist"),
+        F.max("c").alias("mx"),
+    )
+    names = {1: "word", 2: "bigram", 3: "trigram"}
+    aggs = []
+    for o, nm in names.items():
+        cond = F.col("n") == o
+        aggs += [
+            F.coalesce(F.max(F.when(cond, F.col("total"))), F.lit(0))
+            .cast("long").alias(f"n_{nm}s"),
+            F.coalesce(F.max(F.when(cond, F.col("dist"))), F.lit(0))
+            .cast("long").alias(f"n_distinct_{nm}s"),
+            F.coalesce(F.max(F.when(cond, F.col("mx"))), F.lit(0))
+            .cast("long").alias(f"max_{nm}_count"),
+        ]
+    stats = per_order.groupBy(id_col).agg(*aggs)
+    zero = [F.lit(0).cast("long")] * 9
+    return (
+        docs.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            *[
+                F.coalesce(F.col(c), z).alias(c)
+                for c, z in zip(
+                    [a for o, nm in names.items() for a in (
+                        f"n_{nm}s", f"n_distinct_{nm}s", f"max_{nm}_count")],
+                    zero,
+                )
+            ],
+        )
+    )
+
+
 def make_karp_rabin_udf(window: int = 16, base: int = 257, mod: int = 1 << 31):
     """Rolling-hash (Karp-Rabin) min-fingerprint over a sliding byte window
     (a winnowing-style robust fingerprint; docs shorter than the window →

@@ -425,3 +425,27 @@ def test_curation_sampling_and_cap(spark, docs):
         per.setdefault(r["lang"], []).append(r["doc_id"])
     assert all(len(v) <= 2 for v in per.values())
     assert per["en"] == [0, 1]  # lowest ids win with asc ordering
+
+
+def test_repetition_stats_handcrafted(spark):
+    """Known-answer check: 'a b a b a' → 5 words (2 distinct, 'a'×3),
+    4 bigrams ('a b'×2, 'b a'×2 → 2 distinct, max 2), 3 trigrams
+    ('a b a'×2, 'b a b' → 2 distinct, max 2); plus a single-word doc."""
+    from linear_kdtree_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "solo")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    assert rows[1] == {
+        "doc_id": 1,
+        "n_words": 5, "n_distinct_words": 2, "max_word_count": 3,
+        "n_bigrams": 4, "n_distinct_bigrams": 2, "max_bigram_count": 2,
+        "n_trigrams": 3, "n_distinct_trigrams": 2, "max_trigram_count": 2,
+    }
+    assert rows[2] == {
+        "doc_id": 2,
+        "n_words": 1, "n_distinct_words": 1, "max_word_count": 1,
+        "n_bigrams": 0, "n_distinct_bigrams": 0, "max_bigram_count": 0,
+        "n_trigrams": 0, "n_distinct_trigrams": 0, "max_trigram_count": 0,
+    }
