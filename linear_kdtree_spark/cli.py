@@ -152,6 +152,7 @@ def cmd_pip(args) -> int:
 
 def cmd_tile(args) -> int:
     from linear_kdtree_spark.operators.tile import (
+        assign_tiles_hex,
         assign_tiles_morton,
         assign_tiles_s2,
     )
@@ -160,6 +161,8 @@ def cmd_tile(args) -> int:
     pts = spark.read.parquet(args.input)
     if args.mode == "s2":
         out = assign_tiles_s2(pts, args.level)
+    elif args.mode == "hex":
+        out = assign_tiles_hex(pts, args.res)
     else:
         out = assign_tiles_morton(pts, args.depth)
     out.write.mode("overwrite").parquet(args.output)
@@ -214,9 +217,10 @@ def make_parser() -> argparse.ArgumentParser:
     t = sub.add_parser("tile")
     t.add_argument("--input", required=True)
     t.add_argument("--output", required=True)
-    t.add_argument("--mode", default="morton", choices=["morton", "s2"])
+    t.add_argument("--mode", default="morton", choices=["morton", "s2", "hex"])
     t.add_argument("--depth", type=int, default=8, help="morton grid depth")
     t.add_argument("--level", type=int, default=12, help="s2 cell level")
+    t.add_argument("--res", type=int, default=7, help="aperture-7 hex res")
     t.set_defaults(fn=cmd_tile)
 
     bn = sub.add_parser("bench")

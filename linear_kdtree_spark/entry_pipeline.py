@@ -758,10 +758,65 @@ GROUP BY d.doc_id
 """.strip()
 
 
+# messy deterministic URLs exercising every canonicalization rule: case,
+# default ports, tracking params (leading/following/only), fragments,
+# trailing slashes — identical text in both engines
+CANON_URLS_SQL = """
+SELECT doc_id,
+  'HtTp://Host' || CAST(doc_id % 20 AS STRING) || '.ExAmple.com'
+  || CASE WHEN doc_id % 3 = 0 THEN ':80' WHEN doc_id % 3 = 1 THEN ':443' ELSE '' END
+  || '/path' || CAST(doc_id % 7 AS STRING)
+  || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+  || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&q=' || CAST(doc_id % 5 AS STRING)
+          WHEN doc_id % 4 = 1 THEN '?q=' || CAST(doc_id % 5 AS STRING) || '&gclid=abc'
+          WHEN doc_id % 4 = 2 THEN '?utm_campaign=z' ELSE '' END
+  || CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END AS url
+FROM documents
+""".strip()
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + exact dedup on the canonical form →
+    (doc_id, canon_url, canonical_id, is_duplicate)."""
+    from linear_kdtree_spark.operators.curation import url_dedup
+
+    load_views(spark, sf_dir, ("documents",))
+    return url_dedup(spark.sql(CANON_URLS_SQL))
+
+
+def url_dedup_oracle_sql() -> str:
+    canon = """regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+  lower(regexp_extract(u1, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1))
+    || regexp_replace(u1, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', ''),
+  ':80/', '/'), ':80\\?', '?'), ':80$', ''), ':443/', '/')"""
+    canon = f"regexp_replace(regexp_replace({canon}, ':443\\?', '?'), ':443$', '')"
+    canon = (
+        f"regexp_replace({canon}, '&(utm_[a-zA-Z]+|fbclid|gclid)=[^&]*', '', 'g')"
+    )
+    canon = (
+        f"regexp_replace({canon}, '\\?(utm_[a-zA-Z]+|fbclid|gclid)=[^&]*&', '?', 'g')"
+    )
+    canon = (
+        f"regexp_replace({canon}, '\\?(utm_[a-zA-Z]+|fbclid|gclid)=[^&]*$', '', 'g')"
+    )
+    canon = f"regexp_replace({canon}, '/$', '')"
+    return f"""
+WITH base AS ({CANON_URLS_SQL}),
+u AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u1 FROM base),
+c AS (SELECT doc_id, {canon} AS canon_url FROM u),
+w AS (SELECT canon_url, MIN(doc_id) AS canonical_id FROM c GROUP BY canon_url)
+SELECT c.doc_id, c.canon_url, w.canonical_id,
+  CAST(CASE WHEN c.doc_id != w.canonical_id THEN 1 ELSE 0 END AS INTEGER)
+    AS is_duplicate
+FROM c JOIN w USING (canon_url)
+""".strip()
+
+
 def pipeline_queries():
     return {
         "multimodal_decode": q_multimodal_decode,
         "repetition": q_repetition,
+        "url_dedup": q_url_dedup,
         "text_stats": q_text_stats,
         "quality": q_quality,
         "lang_id": q_lang_id,
@@ -786,6 +841,7 @@ def pipeline_oracles():
     return {
         "multimodal_decode": multimodal_decode_oracle_sql(),
         "repetition": repetition_oracle_sql(),
+        "url_dedup": url_dedup_oracle_sql(),
         "text_stats": text_stats_oracle_sql(),
         "quality": quality_oracle_sql(),
         "lang_id": lang_id_oracle_sql(),

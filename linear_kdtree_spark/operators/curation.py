@@ -55,6 +55,55 @@ def deterministic_sample(
     return df.filter(h < thresh)
 
 
+_TRACKING = "(utm_[a-zA-Z]+|fbclid|gclid)"
+
+
+def canonicalize_url(url: F.Column) -> F.Column:
+    """Canonical URL form for web-corpus dedup: drop the fragment,
+    lowercase scheme+host, strip default ports (:80/:443), remove
+    tracking query params (utm_*, fbclid, gclid), strip a trailing
+    slash. Pure regexp column expressions; every pattern avoids
+    backreferences and lookarounds so Java regex (Spark) and RE2
+    (DuckDB oracle) agree exactly. Deliberately NOT stripped: `www.`
+    prefixes and param reordering (lossy / order is meaningful)."""
+    u = F.regexp_replace(url, "#.*", "")
+    scheme_host = F.lower(
+        F.regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1)
+    )
+    rest = F.regexp_replace(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", "")
+    u = F.concat(scheme_host, rest)
+    for port in (":80", ":443"):
+        u = F.regexp_replace(u, port + "/", "/")
+        u = F.regexp_replace(u, port + "\\?", "?")
+        u = F.regexp_replace(u, port + "$", "")
+    u = F.regexp_replace(u, "&" + _TRACKING + "=[^&]*", "")
+    u = F.regexp_replace(u, "\\?" + _TRACKING + "=[^&]*&", "?")
+    u = F.regexp_replace(u, "\\?" + _TRACKING + "=[^&]*$", "")
+    return F.regexp_replace(u, "/$", "")
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, canon_url, canonical_id, is_duplicate) — exact dedup on the
+    canonical URL; canonical = min id per canonical form (one hash
+    shuffle on the canon key, same shape as operators/dedup.exact_dedup)."""
+    canon = df.select(
+        F.col(id_col), canonicalize_url(F.col(url_col)).alias("canon_url")
+    )
+    winners = canon.groupBy("canon_url").agg(
+        F.min(id_col).alias("canonical_id")
+    )
+    return canon.join(winners, "canon_url").select(
+        id_col,
+        "canon_url",
+        "canonical_id",
+        (F.col(id_col) != F.col("canonical_id")).cast("int").alias(
+            "is_duplicate"
+        ),
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

@@ -449,3 +449,39 @@ def test_repetition_stats_handcrafted(spark):
         "n_bigrams": 0, "n_distinct_bigrams": 0, "max_bigram_count": 0,
         "n_trigrams": 0, "n_distinct_trigrams": 0, "max_trigram_count": 0,
     }
+
+
+def test_canonicalize_url_rules(spark):
+    """Known-answer coverage of every canonicalization rule."""
+    from linear_kdtree_spark.operators.curation import canonicalize_url
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("HtTpS://WWW.Example.COM:443/A/b/?utm_source=x#frag",
+         "https://www.example.com/A/b"),
+        ("http://h.example:80/p?q=1&utm_campaign=z&r=2",
+         "http://h.example/p?q=1&r=2"),
+        ("http://h.example/p?gclid=abc", "http://h.example/p"),
+        ("http://h.example/p?utm_a=1&q=2", "http://h.example/p?q=2"),
+        ("http://h.example:8080/p", "http://h.example:8080/p"),
+        ("http://h.example", "http://h.example"),
+    ]
+    df = spark.createDataFrame(cases, "url string, expect string")
+    rows = df.select("expect",
+                     canonicalize_url(F.col("url")).alias("got")).collect()
+    for r in rows:
+        assert r["got"] == r["expect"], (r["got"], r["expect"])
+
+
+def test_url_dedup_canonical_grouping(spark):
+    from linear_kdtree_spark.operators.curation import url_dedup
+
+    df = spark.createDataFrame(
+        [(1, "HTTP://A.example/x/"), (2, "http://a.example/x"),
+         (3, "http://b.example/y?utm_q=1"), (4, "http://b.example/y")],
+        "doc_id long, url string",
+    )
+    rows = {r["doc_id"]: r for r in url_dedup(df).collect()}
+    assert rows[1]["canonical_id"] == 1 and rows[1]["is_duplicate"] == 0
+    assert rows[2]["canonical_id"] == 1 and rows[2]["is_duplicate"] == 1
+    assert rows[4]["canonical_id"] == 3 and rows[4]["is_duplicate"] == 1
