@@ -443,6 +443,35 @@ FROM (SELECT *, CASE {dig_case} END AS dig
     return sql
 
 
+HEX_ROLLUP_RES = 4
+
+
+def q_tile_hex_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex-cell rollup as a PURE COLUMN EXPRESSION (hex_parent_col digit
+    truncation) applied to the engine's res-7 cells, gated against the
+    oracle computing res-4 cells DIRECTLY from coordinates — the
+    cross-engine pin of the exact-nesting theorem (parent(cell(p,7),4) ≡
+    cell(p,4)), which is what makes multi-resolution hex rollups a
+    groupBy on a bitmask instead of a recompute."""
+    from linear_kdtree_spark.operators.tile import (
+        hex_cells_from_face_xy,
+        hex_parent_col,
+    )
+
+    load_views(spark, sf_dir, ("lineitem",))
+    base = spark.sql(HEX_XY_SQL)
+    cells = hex_cells_from_face_xy(base, HEX_RES)
+    return cells.select(
+        "key",
+        hex_parent_col(F.col("hex_cell"), HEX_ROLLUP_RES).alias("hex_parent"),
+    )
+
+
+def tile_hex_rollup_oracle_sql() -> str:
+    sql = tile_hex_oracle_sql(res=HEX_ROLLUP_RES)
+    return sql.replace("AS hex_cell FROM", "AS hex_parent FROM")
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs via banded sign-LSH + exact cosine
     refine (threshold 0.95). Gated hash-exact against a brute-force
@@ -875,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_lkt": q_tile_lkt,
         "tile_s2": q_tile_s2,
         "tile_hex": q_tile_hex,
+        "tile_hex_rollup": q_tile_hex_rollup,
         "embed_neardup": q_embed_neardup,
     }
     out.update(pipeline_queries())
@@ -906,6 +936,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_lkt": tile_lkt_oracle_sql(),
         "tile_s2": tile_s2_oracle_sql(),
         "tile_hex": tile_hex_oracle_sql(),
+        "tile_hex_rollup": tile_hex_rollup_oracle_sql(),
         "embed_neardup": embed_neardup_oracle_sql(),
     }
     out.update(pipeline_oracles())

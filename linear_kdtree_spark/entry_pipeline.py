@@ -812,11 +812,36 @@ FROM c JOIN w USING (canon_url)
 """.strip()
 
 
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embeddings table, exploded to
+    integer rows → (vec_id, pos, q)."""
+    from linear_kdtree_spark.operators.similarity import quantize_embeddings
+
+    load_views(spark, sf_dir, ("embeddings",))
+    return quantize_embeddings(spark.table("embeddings"))
+
+
+def embed_quantize_oracle_sql() -> str:
+    return """
+WITH s AS (
+  SELECT vec_id, embedding,
+    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS sc
+  FROM embeddings
+)
+SELECT vec_id,
+  CAST(UNNEST(range(1, len(embedding) + 1)) - 1 AS INTEGER) AS pos,
+  CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) / sc * 127.0 + 0.5)
+       AS INTEGER) AS q
+FROM s WHERE sc > 0
+""".strip()
+
+
 def pipeline_queries():
     return {
         "multimodal_decode": q_multimodal_decode,
         "repetition": q_repetition,
         "url_dedup": q_url_dedup,
+        "embed_quantize": q_embed_quantize,
         "text_stats": q_text_stats,
         "quality": q_quality,
         "lang_id": q_lang_id,
@@ -842,6 +867,7 @@ def pipeline_oracles():
         "multimodal_decode": multimodal_decode_oracle_sql(),
         "repetition": repetition_oracle_sql(),
         "url_dedup": url_dedup_oracle_sql(),
+        "embed_quantize": embed_quantize_oracle_sql(),
         "text_stats": text_stats_oracle_sql(),
         "quality": quality_oracle_sql(),
         "lang_id": lang_id_oracle_sql(),

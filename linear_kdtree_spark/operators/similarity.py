@@ -232,3 +232,33 @@ def cosine_near_dup_pairs(
         .filter(cosine(F.col("a_v"), F.col("b_v")) >= threshold)
         .select("a_id", "b_id")
     )
+
+
+def quantize_embeddings(
+    vectors, vec_id: str = "vec_id", vec_col: str = "embedding"
+):
+    """Int8 scalar quantization for embedding storage (the standard
+    pipeline step before writing vectors at corpus scale: 4× smaller than
+    float32, recall loss negligible for retrieval): per vector,
+    scale = max|v| and q_i = floor(v_i / scale * 127 + 0.5) ∈ [-127, 127].
+
+    Pure higher-order column expressions (no Python), emitted EXPLODED as
+    (vec_id, pos, q) integer rows so the result hash-gates bit-exactly
+    against the DuckDB twin (`embed_quantize`): max/divide/multiply/floor
+    are identically-rounded IEEE ops in both engines, and floor(x + 0.5)
+    is the explicit rounding rule both sides share (built-in round()
+    semantics differ across engines)."""
+    scale = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(
+            x.cast("double") / F.col("_scale") * 127.0 + 0.5
+        ).cast("int"),
+    )
+    return (
+        vectors.select(vec_id, vec_col)
+        .withColumn("_scale", scale.cast("double"))
+        .filter(F.col("_scale") > 0)
+        .withColumn("q", q)
+        .select(vec_id, F.posexplode("q").alias("pos", "q"))
+    )

@@ -485,3 +485,25 @@ def test_url_dedup_canonical_grouping(spark):
     assert rows[1]["canonical_id"] == 1 and rows[1]["is_duplicate"] == 0
     assert rows[2]["canonical_id"] == 1 and rows[2]["is_duplicate"] == 1
     assert rows[4]["canonical_id"] == 3 and rows[4]["is_duplicate"] == 1
+
+
+def test_quantize_embeddings_bounds_and_fidelity(spark):
+    """q ∈ [-127, 127], max-|v| element hits ±127 exactly, and
+    dequantized cosine similarity to the original stays > 0.999."""
+    import numpy as np
+
+    from linear_kdtree_spark.operators.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(3)
+    vecs = [(i, [float(x) for x in rng.normal(size=32)]) for i in range(50)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rows = quantize_embeddings(df).collect()
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r["vec_id"], {})[r["pos"]] = r["q"]
+    for vid, emb in vecs:
+        q = np.array([by_vec[vid][p] for p in range(32)], dtype=np.float64)
+        v = np.float32(emb).astype(np.float64)
+        assert np.abs(q).max() == 127
+        cos = (q @ v) / (np.linalg.norm(q) * np.linalg.norm(v))
+        assert cos > 0.999, (vid, cos)
