@@ -266,6 +266,58 @@ def q_pip_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point_in_polygons(idx, polys, exact="convex")
 
 
+def hexagon_vertices(nationkey: int) -> list[tuple[float, float]]:
+    """CCW convex hexagon with trig-free exact-double vertices (ints and
+    exact halves) — mirrored verbatim in the oracle SQL generator."""
+    cx, cy, _, _ = rect_params(nationkey)
+    a = float(4 + nationkey % 5)
+    b = float(3 + nationkey % 4)
+    return [
+        (cx + a, cy), (cx + a / 2, cy + b), (cx - a / 2, cy + b),
+        (cx - a, cy), (cx - a / 2, cy - b), (cx + a / 2, cy - b),
+    ]
+
+
+def q_pip_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-pruned point-in-polygon over CONVEX HEXAGONS (strict
+    half-plane forall refine — the general-convex path, where pip_rect
+    only exercises axis-aligned rectangles) → (poly_id, key). Hash-exact:
+    the engine's broadcast edge-array cross products and the oracle's
+    inline cross products compute identical IEEE expressions on identical
+    exact-double vertices."""
+    from linear_kdtree_spark.operators.pip import Polygon, point_in_polygons
+
+    idx = _gate_index(spark, sf_dir)
+    load_views(spark, sf_dir, ("nation",))
+    polys = [
+        Polygon(int(r[0]), hexagon_vertices(int(r[0])))
+        for r in spark.sql("SELECT n_nationkey FROM nation").collect()
+    ]
+    return point_in_polygons(idx, polys, exact="convex")
+
+
+def pip_convex_oracle_sql(n_nations: int = 25) -> str:
+    parts = []
+    for nk in range(n_nations):
+        verts = hexagon_vertices(nk)
+        conds = []
+        m = len(verts)
+        for i in range(m):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % m]
+            conds.append(
+                f"({x2 - x1!r}) * (p.y - ({y1!r})) - "
+                f"({y2 - y1!r}) * (p.x - ({x1!r})) > 0"
+            )
+        parts.append(
+            f"SELECT {nk} AS poly_id, p.key FROM pts p WHERE "
+            + " AND ".join(conds)
+        )
+    return (
+        f"WITH {_points_cte()}\n" + "\nUNION ALL\n".join(parts)
+    )
+
+
 def q_tile_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-grid Z-order tile counts at depth 8 → (tile, n_points)."""
     from linear_kdtree_spark.operators.tile import assign_tiles_morton
@@ -894,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "knn_batch": q_knn_batch,
         "pip_rect": q_pip_rect,
+        "pip_convex": q_pip_convex,
         "tile_morton": q_tile_morton,
         "raster_density": q_raster_density,
         "raster_pyramid": q_raster_pyramid,
@@ -926,6 +979,7 @@ def oracle_sql() -> dict[str, str]:
         "knn": knn_oracle_sql(),
         "knn_batch": knn_oracle_sql(queries_sql=KNN_BATCH_QUERIES_SQL),
         "pip_rect": pip_rect_oracle_sql(),
+        "pip_convex": pip_convex_oracle_sql(),
         "tile_morton": tile_oracle_sql(),
         "raster_density": raster_oracle_sql(),
         "raster_pyramid": raster_pyramid_oracle_sql(),
