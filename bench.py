@@ -153,11 +153,14 @@ def run_suite(sf_dir: str, cpus: int, reps: int | None = None) -> dict:
 def _materialized_build(pts, cpus: int, n_points: int):
     from linear_kdtree_spark.operators.build import lkt_build
 
-    # hand off to the fused local finish at ~n/20 per subtree (≈20+ groups
-    # keeps every core busy while minimizing distributed levels — measured
-    # 61 s vs 86 s at 19.2 M for 1 M vs 200 k); capped so a group always
-    # fits one task's pandas memory (the rule a real cluster would use)
-    threshold = max(200_000, min(n_points // 20, 4_000_000))
+    # hand off to the fused local finish at ~n/8 per subtree: with the
+    # O(n·depth) local builder and exact count-based packing (r3), fewer
+    # distributed levels beats more python parallelism — measured best-of-3
+    # at local[32]: 4.8 M: 12.4 s (n/20) → 7.6 s (n/8); 19.2 M: 47.3 →
+    # 20.3 s. Capped at 4 M so a group always fits one task's pandas
+    # memory (the rule a real cluster would use; beyond ~n/4 the few huge
+    # subtrees starve the cores — 2.4 M threshold at 4.8 M regressed)
+    threshold = max(200_000, min(n_points // 8, 4_000_000))
     idx = lkt_build(
         pts, max_depth=24, strategy="mean", leaf_size=512, num_partitions=cpus,
         local_threshold=threshold,
