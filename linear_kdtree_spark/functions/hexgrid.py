@@ -67,9 +67,6 @@ def _icosahedron():
     """Canonical icosahedron: 20 face centers + per-face 2D basis, all
     derived from the golden ratio (no tables)."""
     phi = (1.0 + math.sqrt(5.0)) / 2.0
-    verts = []
-    for a, b in [(1.0, phi), (phi, 1.0)]:
-        pass
     raw = []
     for s1 in (1.0, -1.0):
         for s2 in (1.0, -1.0):

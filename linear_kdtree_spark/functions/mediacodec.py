@@ -193,10 +193,11 @@ def decode_wav(buf: bytes):
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     """PCM little-endian encoding; dtype picks the bit depth (uint8 /
     int16 / int32 / float32)."""
-    samples = np.atleast_2d(np.asarray(samples))
-    if samples.shape[0] < samples.shape[1] and samples.ndim == 2 and \
-            samples.shape[0] <= 8:
-        pass  # caller passed (N, ch); ambiguous tiny arrays accepted as-is
+    samples = np.asarray(samples)
+    if samples.ndim == 1:
+        samples = samples.reshape(-1, 1)  # mono: N samples x 1 channel
+    elif samples.ndim != 2:
+        raise ValueError("samples must be 1-D (mono) or (frames, channels)")
     n, ch = samples.shape
     kind = samples.dtype
     if kind == np.float32:

@@ -107,12 +107,17 @@ def _face_uv_to_xyz(face, u, v):
 
 
 def _uv_to_st(u):
-    """S2's quadratic projection — equalizes cell areas across a face."""
+    """S2's quadratic projection — equalizes cell areas across a face.
+
+    Both np.where branches evaluate, so each sqrt argument is clamped at 0
+    for the rows the other branch owns (1±3u is ≥0 on its own branch for
+    any valid |u| ≤ 1; the clamp only silences the dead-branch warning and
+    never changes a selected value)."""
     u = np.asarray(u, dtype=np.float64)
     return np.where(
         u >= 0.0,
-        0.5 * np.sqrt(1.0 + 3.0 * u),
-        1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u),
+        0.5 * np.sqrt(np.maximum(1.0 + 3.0 * u, 0.0)),
+        1.0 - 0.5 * np.sqrt(np.maximum(1.0 - 3.0 * u, 0.0)),
     )
 
 

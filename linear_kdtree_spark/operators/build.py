@@ -187,6 +187,12 @@ def lkt_build(
     (join them back by ``key``). Returns an :class:`LktIndex` whose
     ``points`` are range-partitioned and sorted by ``sort_key`` — the
     physical kd order of the reference's in-place array.
+
+    ``materialize=False`` defers persist()+count() of the output only on
+    the pure level-synchronous path; when the fused local finish triggers
+    (the default whenever nodes shrink under ``local_threshold``) the build
+    is ALWAYS materialized — the finish pass must run to deliver its split
+    rows through the accumulator, so laziness has nothing left to save.
     """
     spark = points.sparkSession
     if checkpoint_dir:
@@ -461,7 +467,9 @@ def _verified_tokens(spark, n_parts: int):
         verify_tokens,
     )
 
-    key = (id(spark), n_parts)
+    # applicationId is stable for the session's lifetime and never reused
+    # by a successor session in-process (id(spark) can be — ADVICE r3)
+    key = (spark.sparkContext.applicationId, n_parts)
     if key not in _TOKEN_CACHE:
         try:
             toks = partition_tokens(n_parts)

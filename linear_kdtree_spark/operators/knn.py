@@ -72,11 +72,15 @@ def knn(
     tests/test_differential.py) instead of being collected."""
     spark = index.points.sparkSession
     if isinstance(queries, DataFrame):
-        if queries.limit(delegate_threshold + 1).count() > delegate_threshold:
+        # one take() both probes the size AND is the collected row set when
+        # under the threshold (no separate count job re-running the
+        # queries' lineage — ADVICE r3)
+        probe = queries.take(delegate_threshold + 1)
+        if len(probe) > delegate_threshold:
             return knn_batch(index, queries, k)
         qrows = [
             (int(r["query_id"]), float(r["qx"]), float(r["qy"]))
-            for r in queries.collect()
+            for r in probe
         ]
     else:
         qrows = [(int(q), float(x), float(y)) for q, x, y in queries]
