@@ -524,6 +524,213 @@ def tile_hex_rollup_oracle_sql() -> str:
     return sql.replace("AS hex_cell FROM", "AS hex_parent FROM")
 
 
+# deterministic face-local H3 hex2d coordinates from lineitem keys, in
+# the res-5 scaling (sqrt(7)^5 ~ 129.6): box +-125.5 = radius <= 1.37
+# res-0 units, inside the face coverage region (cf. tests/test_h3.py)
+H3_XY_SQL = """
+SELECT key, key % 20 AS face,
+  CAST((key * 48271 + 7) % 25101 - 12550 AS DOUBLE) / 100.0 AS hx,
+  CAST((key * 69621 + 11) % 25101 - 12550 AS DOUBLE) / 100.0 AS hy
+FROM (SELECT l_orderkey * 8 + l_linenumber AS key FROM lineitem) base
+""".strip()
+
+H3_RES = 5
+
+
+def q_tile_h3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Uber-H3 ids at res 5: the from-scratch trig-free int core
+    (functions/h3.py — hex-grid rounding, integer aperture-7
+    up-aggregation, the tablegen-derived 540-entry base-cell lookup,
+    rotations and pentagon leading-K adjustments, id packing), gated
+    bit-exactly against a DuckDB oracle that unrolls the whole pipeline.
+    The lat/lng trig front-end is pytest-pinned against the PUBLISHED
+    example cells (tests/test_h3.py::test_published_example_cells) —
+    trig is not bit-reproducible across engines, the rest is."""
+    from linear_kdtree_spark.operators.tile import h3_cells_from_face_hex2d
+
+    load_views(spark, sf_dir, ("lineitem",))
+    base = spark.sql(H3_XY_SQL)
+    return h3_cells_from_face_hex2d(base, H3_RES).select("key", "h3_cell")
+
+
+def tile_h3_oracle_sql(res: int = H3_RES) -> str:
+    """Independent DuckDB twin of the H3 int core: identical double
+    expressions for the hex-grid rounding, exact integer lround-by-7
+    up-aggregation (normalize == subtract-LEAST), the derived base-cell
+    table as a VALUES join, and the rotation / pentagon digit
+    adjustments as unrolled CASE stages."""
+    from linear_kdtree_spark.functions.h3 import (
+        CCW_DIGIT,
+        CW_DIGIT,
+        SIN60,
+        _table,
+    )
+    from linear_kdtree_spark.functions.h3_tables import BASE_CELL_DATA
+
+    def ccw(col: str) -> str:
+        whens = " ".join(
+            f"WHEN {d} THEN {int(CCW_DIGIT[d])}" for d in range(7)
+        )
+        return f"CASE {col} {whens} END"
+
+    def cw(col: str) -> str:
+        whens = " ".join(
+            f"WHEN {d} THEN {int(CW_DIGIT[d])}" for d in range(7)
+        )
+        return f"CASE {col} {whens} END"
+
+    def lead(cols: list[str]) -> str:
+        whens = " ".join(f"WHEN {c} <> 0 THEN {c}" for c in cols)
+        return f"CASE {whens} ELSE 0 END"
+
+    digits = [f"d{r}" for r in range(1, res + 1)]
+
+    # --- hex-grid rounding (coordijk.c::_hex2dToCoordIJK shape) -------
+    sql = f"""WITH base AS ({H3_XY_SQL}),
+rnd0 AS (SELECT key, face, hx, hy,
+  ABS(hx) + (ABS(hy) / {SIN60!r}) / 2.0 AS x1,
+  ABS(hy) / {SIN60!r} AS x2
+FROM base),
+rnd1 AS (SELECT *, CAST(FLOOR(x1) AS BIGINT) AS m1,
+  CAST(FLOOR(x2) AS BIGINT) AS m2,
+  x1 - CAST(FLOOR(x1) AS BIGINT) AS r1,
+  x2 - CAST(FLOOR(x2) AS BIGINT) AS r2
+FROM rnd0),
+rnd2 AS (SELECT key, face, hx, hy,
+  CASE
+    WHEN r1 < 0.5 AND r1 < {1.0 / 3.0!r} THEN m1
+    WHEN r1 < 0.5 THEN
+      CASE WHEN ({1.0!r} - r1) <= r2 AND r2 < (2.0 * r1)
+           THEN m1 + 1 ELSE m1 END
+    WHEN r1 < {2.0 / 3.0!r} THEN
+      CASE WHEN (2.0 * r1 - {1.0!r}) < r2 AND r2 < ({1.0!r} - r1)
+           THEN m1 ELSE m1 + 1 END
+    ELSE m1 + 1
+  END AS fi,
+  CASE
+    WHEN r1 < 0.5 AND r1 < {1.0 / 3.0!r} THEN
+      CASE WHEN r2 < ({1.0!r} + r1) / 2.0 THEN m2 ELSE m2 + 1 END
+    WHEN r1 < 0.5 THEN
+      CASE WHEN r2 < ({1.0!r} - r1) THEN m2 ELSE m2 + 1 END
+    WHEN r1 < {2.0 / 3.0!r} THEN
+      CASE WHEN r2 < ({1.0!r} - r1) THEN m2 ELSE m2 + 1 END
+    ELSE CASE WHEN r2 < (r1 / 2.0) THEN m2 ELSE m2 + 1 END
+  END AS fj
+FROM rnd1),
+rnd3 AS (SELECT key, face,
+  CASE WHEN hy < 0.0 THEN gi - (2 * gj + 1) // 2 ELSE gi END AS ni,
+  CASE WHEN hy < 0.0 THEN -gj ELSE gj END AS nj
+FROM (SELECT key, face, hy,
+  CASE WHEN hx < 0.0 THEN
+    CASE WHEN fj % 2 = 0 THEN fi - 2 * (fi - fj // 2)
+         ELSE fi - (2 * (fi - (fj + 1) // 2) + 1) END
+  ELSE fi END AS gi,
+  fj AS gj
+FROM rnd2) fold),
+c{res} AS (SELECT key, face,
+  ni - LEAST(ni, nj, 0) AS pi,
+  nj - LEAST(ni, nj, 0) AS pj,
+  0 - LEAST(ni, nj, 0) AS pk
+FROM rnd3)"""
+
+    # --- aperture-7 up-aggregation with digit extraction --------------
+    for r in range(res, 0, -1):
+        carried = ", ".join(f"d{q}" for q in range(res, r, -1))
+        carried = (carried + ", ") if carried else ""
+        if r % 2 == 1:  # Class III
+            up_i = "CAST(FLOOR((2 * (3 * ai - aj) + 7) / 14.0) AS BIGINT)"
+            up_j = "CAST(FLOOR((2 * (ai + 2 * aj) + 7) / 14.0) AS BIGINT)"
+            dn_i = "3 * ui + uj"
+            dn_j = "3 * uj + uk"
+            dn_k = "ui + 3 * uk"
+        else:
+            up_i = "CAST(FLOOR((2 * (2 * ai + aj) + 7) / 14.0) AS BIGINT)"
+            up_j = "CAST(FLOOR((2 * (3 * aj - ai) + 7) / 14.0) AS BIGINT)"
+            dn_i = "3 * ui + uk"
+            dn_j = "ui + 3 * uj"
+            dn_k = "uj + 3 * uk"
+        sql += f""",
+c{r - 1} AS (SELECT key, face, {carried}
+  4 * (pi - ci - LEAST(pi - ci, pj - cj, pk - ck))
+  + 2 * (pj - cj - LEAST(pi - ci, pj - cj, pk - ck))
+  + (pk - ck - LEAST(pi - ci, pj - cj, pk - ck)) AS d{r},
+  ui AS pi, uj AS pj, uk AS pk
+FROM (SELECT *,
+  {dn_i} - LEAST({dn_i}, {dn_j}, {dn_k}) AS ci,
+  {dn_j} - LEAST({dn_i}, {dn_j}, {dn_k}) AS cj,
+  {dn_k} - LEAST({dn_i}, {dn_j}, {dn_k}) AS ck
+FROM (SELECT *,
+  ni - LEAST(ni, nj, 0) AS ui,
+  nj - LEAST(ni, nj, 0) AS uj,
+  0 - LEAST(ni, nj, 0) AS uk
+FROM (SELECT key, face, {carried}pi, pj, pk,
+  {up_i} AS ni, {up_j} AS nj
+FROM (SELECT *, pi - pk AS ai, pj - pk AS aj FROM c{r}) aa) bb) cc) dd)"""
+
+    # --- derived base-cell lookup (tools/h3_tablegen.py) --------------
+    bc_tab, rot_tab = _table()
+    rows = []
+    for f in range(20):
+        for i in range(3):
+            for j in range(3):
+                for k in range(3):
+                    bc = int(bc_tab[f, i, j, k])
+                    rot = int(rot_tab[f, i, j, k])
+                    pent = int(BASE_CELL_DATA[bc][2])
+                    cw1, cw2 = BASE_CELL_DATA[bc][3]
+                    rows.append(
+                        f"({f},{i},{j},{k},{bc},{rot},{pent},{cw1},{cw2})"
+                    )
+    dcols = ", ".join(digits)
+    sql += f""",
+bctab (f, i, j, k, bc, rot, pent, cw1, cw2) AS (VALUES {", ".join(rows)}),
+lk AS (SELECT a.key, a.face, {dcols}, t.bc, t.rot, t.pent, t.cw1, t.cw2
+FROM c0 a JOIN bctab t
+  ON a.face = t.f AND a.pi = t.i AND a.pj = t.j AND a.pk = t.k)"""
+
+    # --- pentagon leading-K adjustment (before rotations) -------------
+    adj_digits = ", ".join(
+        f"CASE WHEN pent = 1 AND lead0 = 1 AND (face = cw1 OR face = cw2)"
+        f" THEN {cw(d)} WHEN pent = 1 AND lead0 = 1"
+        f" THEN {ccw(d)} ELSE {d} END AS {d}"
+        for d in digits
+    )
+    sql += f""",
+adj AS (SELECT key, face, bc, rot, pent, {adj_digits}
+FROM (SELECT *, {lead(digits)} AS lead0 FROM lk) z)"""
+
+    # --- base-cell rotations: 5 unrolled conditional ccw steps, each
+    # with the pentagon deleted-K re-rotation -------------------------
+    prev = "adj"
+    for it in range(5):
+        e_digits = ", ".join(
+            f"CASE WHEN rot > {it} THEN {ccw(d)} ELSE {d} END AS {d}"
+            for d in digits
+        )
+        f_digits = ", ".join(
+            f"CASE WHEN rot > {it} AND pent = 1 AND leadk = 1"
+            f" THEN {ccw(d)} ELSE {d} END AS {d}"
+            for d in digits
+        )
+        sql += f""",
+it{it} AS (SELECT key, face, bc, rot, pent, {f_digits}
+FROM (SELECT *, {lead(digits)} AS leadk
+FROM (SELECT key, face, bc, rot, pent, {e_digits} FROM {prev}) e) g)"""
+        prev = f"it{it}"
+
+    # --- id packing ---------------------------------------------------
+    head = (1 << 59) | (res << 52)
+    pad = sum(7 << (45 - 3 * r) for r in range(res + 1, 16))
+    terms = " + ".join(
+        f"d{r} * {1 << (45 - 3 * r)}" for r in range(1, res + 1)
+    )
+    sql += f"""
+SELECT key,
+  {head} + bc * CAST({1 << 45} AS BIGINT) + {terms} + {pad} AS h3_cell
+FROM {prev}"""
+    return sql
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs via banded sign-LSH + exact cosine
     refine (threshold 0.95). Gated hash-exact against a brute-force
@@ -958,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_s2": q_tile_s2,
         "tile_hex": q_tile_hex,
         "tile_hex_rollup": q_tile_hex_rollup,
+        "tile_h3": q_tile_h3,
         "embed_neardup": q_embed_neardup,
     }
     out.update(pipeline_queries())
@@ -991,6 +1199,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_s2": tile_s2_oracle_sql(),
         "tile_hex": tile_hex_oracle_sql(),
         "tile_hex_rollup": tile_hex_rollup_oracle_sql(),
+        "tile_h3": tile_h3_oracle_sql(),
         "embed_neardup": embed_neardup_oracle_sql(),
     }
     out.update(pipeline_oracles())
