@@ -36,7 +36,7 @@ def run_suite(sf_dir: str, cpus: int, reps: int | None = None) -> dict:
         rect_params,
     )
     from linear_kdtree_spark.operators.build import lkt_build
-    from linear_kdtree_spark.operators.knn import knn
+    from linear_kdtree_spark.operators.knn import knn_batch
     from linear_kdtree_spark.operators.pip import Polygon, point_in_polygons
     from linear_kdtree_spark.operators.raster import rasterize
     from linear_kdtree_spark.operators.spatial_join import radius_join
@@ -104,7 +104,13 @@ def run_suite(sf_dir: str, cpus: int, reps: int | None = None) -> dict:
 
     load_views(spark, sf_dir, ("documents", "embeddings"))
     queries = spark.sql(KNN_QUERIES_SQL)
-    timed("knn", lambda: knn(idx, queries, KNN_K).count())
+    # knn_batch: identical result to knn() (tests/test_differential.py),
+    # but the per-query planning runs inside ONE mapInPandas stage against
+    # broadcast flat-tree arrays instead of a driver loop — the per-job
+    # fixed cost the 40-query leg pays does not multiply with queries,
+    # and the leg scales with the scan like the rest of the suite
+    # (VERDICT r3 next-#2)
+    timed("knn", lambda: knn_batch(idx, queries, KNN_K).count())
 
     polys = []
     for nk in range(25):
