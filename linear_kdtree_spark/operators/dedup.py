@@ -14,8 +14,56 @@ Scale architecture:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+# Default guard on LSH candidate self-joins: a (band, bucket) group of m
+# members emits m² join rows, so one degenerate bucket (mass-produced
+# boilerplate pages, near-identical embeddings) turns the candidate join
+# quadratic. Groups above this size are DROPPED (and logged): a
+# near-identical cluster's buckets differ between bands, so its genuine
+# pairs still collide in the bands where the cluster splits below the
+# cap; EXACT-duplicate clusters (identical in every band) are
+# exact_dedup's job, not LSH's. 4096² = 16.8M rows is the max work one
+# surviving bucket can emit.
+DEFAULT_MAX_BUCKET = 4096
+
+
+def drop_oversized_buckets(
+    bucketed: DataFrame,
+    keys: list[str],
+    max_bucket_size: int | None,
+    label: str,
+) -> DataFrame:
+    """Scale guard for bucket self-joins (VERDICT r3 wrong-#2): one
+    map-side-combined size aggregation finds groups larger than
+    ``max_bucket_size``; those are removed with a BROADCAST left-anti
+    join (the data side never shuffles), and the dropped mass is logged.
+    ``max_bucket_size=None`` disables the guard."""
+    if max_bucket_size is None:
+        return bucketed
+    sizes = bucketed.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    big = sizes.filter(F.col("_n") > max_bucket_size).collect()
+    if not big:
+        return bucketed
+    dropped = sum(r["_n"] for r in big)
+    logger.warning(
+        "%s: dropping %d oversized buckets (> %d members, %d rows total) "
+        "from the candidate join; near-identical members still pair in "
+        "bands where the cluster splits, exact duplicates belong to "
+        "exact_dedup",
+        label, len(big), max_bucket_size, dropped,
+    )
+    spark = bucketed.sparkSession
+    big_df = spark.createDataFrame(
+        [tuple(r[k] for k in keys) for r in big],
+        bucketed.select(*keys).schema,
+    )
+    return bucketed.join(F.broadcast(big_df), keys, "left_anti")
 
 
 # --------------------------------------------------------------- exact dedup
@@ -134,6 +182,7 @@ def lsh_candidate_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """MinHash-LSH candidate (a_id, b_id) pairs, a < b: documents sharing at
     least one identical signature band. rows_per_band = num_perm // bands.
@@ -167,6 +216,9 @@ def lsh_candidate_pairs(
     )
     all_buckets = sig.select("_id", F.explode(band_arr).alias("bb")).select(
         "_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    all_buckets = drop_oversized_buckets(
+        all_buckets, ["band", "bucket"], max_bucket_size, "minhash_lsh"
     )
     left = all_buckets.select(
         F.col("band"), F.col("bucket"), F.col("_id").alias("a_id")
@@ -246,6 +298,7 @@ def simhash_near_pairs(
     band_bits: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """(a_id, b_id, hamming ≤ max_hamming): banded SimHash join — docs share
     ≥ one identical band of ``band_bits`` consecutive bits (guaranteed
@@ -268,6 +321,13 @@ def simhash_near_pairs(
     allb = parts[0]
     for p in parts[1:]:
         allb = allb.unionAll(p)
+    if max_bucket_size is not None:
+        # the guard reads the bucket set twice (size pass + anti-join);
+        # persist so the per-token simhash expressions run once
+        allb = allb.persist()
+    allb = drop_oversized_buckets(
+        allb, ["band", "bucket"], max_bucket_size, "simhash"
+    )
     left = allb.select("band", "bucket", F.col("_id").alias("a_id"),
                        F.col("simhash").alias("a_sh"))
     right = allb.select("band", "bucket", F.col("_id").alias("b_id"),

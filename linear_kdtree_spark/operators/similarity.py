@@ -188,6 +188,7 @@ def cosine_near_dup_pairs(
     bands: int = 8,
     vec_id: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (a < b, cosine ≥ threshold) via
     banded random-hyperplane sign LSH (OR-construction, mirroring the
@@ -200,6 +201,13 @@ def cosine_near_dup_pairs(
     for a single band (the round-1 recall bug). Scale shape: candidates are
     bucket-join rows (never all pairs); signature computation is one
     matmul per Arrow batch."""
+    from linear_kdtree_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET,
+        drop_oversized_buckets,
+    )
+
+    if max_bucket_size is None:
+        max_bucket_size = DEFAULT_MAX_BUCKET
     sigs_udf = make_band_sigs_udf(bands, n_planes)
     bucketed = (
         vectors.select(vec_id, vec_col)
@@ -207,6 +215,12 @@ def cosine_near_dup_pairs(
         .select(
             vec_id, vec_col, F.posexplode("sigs").alias("band", "bucket")
         )
+    )
+    # guard reads buckets twice (size pass + anti-join): persist so the
+    # signature matmul UDF runs once per vector
+    bucketed = bucketed.persist()
+    bucketed = drop_oversized_buckets(
+        bucketed, ["band", "bucket"], max_bucket_size, "embed_neardup"
     )
     a = bucketed.select(
         "band", "bucket", F.col(vec_id).alias("a_id")
