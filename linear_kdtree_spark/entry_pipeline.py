@@ -625,6 +625,7 @@ MM_DOCS = 200
 MM_PPM_W, MM_PPM_H = 16, 8            # 384 values
 MM_BMP_W, MM_BMP_H = 13, 5            # 39-byte rows → exercises 4-byte pad
 MM_WAV_N, MM_WAV_CH = 77, 2           # int16 stereo
+MM_PNG_W, MM_PNG_H = 11, 7            # RGB, real-deflate IDAT
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -647,6 +648,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from linear_kdtree_spark.functions.mediacodec import (
             encode_bmp,
+            encode_png,
             encode_ppm,
             encode_wav,
         )
@@ -686,6 +688,15 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 rows.append(stats(d, "bmp", img))
 
+                # PNG leg: stdlib-zlib-compressed IDAT decoded by the
+                # from-scratch inflate + filter reversal (mediacodec.py)
+                k = np.arange(MM_PNG_W * MM_PNG_H * 3, dtype=np.int64)
+                png = ((d * 23 + k * 2246822519) % 256).astype(np.uint8)
+                img = decode_image(
+                    encode_png(png.reshape(MM_PNG_H, MM_PNG_W, 3))
+                )
+                rows.append(stats(d, "png", img))
+
                 k = np.arange(MM_WAV_N * MM_WAV_CH, dtype=np.int64)
                 wav = (((d * 7 + k * 48271) % 65536) - 32768).astype(np.int16)
                 samples, rate = decode_audio(
@@ -703,6 +714,8 @@ def multimodal_decode_oracle_sql() -> str:
     for fmt, n, formula in (
         ("ppm", MM_PPM_W * MM_PPM_H * 3, "(d.doc_id * 31 + t.k * 2654435761) % 256"),
         ("bmp", MM_BMP_W * MM_BMP_H * 3, "(d.doc_id * 17 + t.k * 1013904223) % 256"),
+        ("png", MM_PNG_W * MM_PNG_H * 3,
+         "(d.doc_id * 23 + t.k * 2246822519) % 256"),
         ("wav", MM_WAV_N * MM_WAV_CH,
          "((d.doc_id * 7 + t.k * 48271) % 65536) - 32768"),
     ):

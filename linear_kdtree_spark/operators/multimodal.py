@@ -2,13 +2,13 @@
 columns with typed metadata, processed through Arrow-batched ``mapInPandas``
 kernels.
 
-Uncompressed formats decode FOR REAL via the from-scratch numpy codecs in
-functions/mediacodec.py (PPM/PGM, BMP, WAV — driver-gated end-to-end by
-`multimodal_decode`, which pins pixel/sample statistics to a DuckDB
-formula oracle). Genuinely compressed formats (PNG/JPEG/MP3 — pillow/
-ffmpeg/librosa are not in this container) remain the documented
-NotImplementedError boundary; ``fake=True`` keeps the deterministic
-stand-in for plumbing tests of those.
+PPM/PGM, BMP, WAV **and PNG** decode FOR REAL via the from-scratch numpy
+codecs in functions/mediacodec.py (PNG includes a full RFC 1951 DEFLATE
+inflate) — driver-gated end-to-end by `multimodal_decode`, which pins
+pixel/sample statistics to a DuckDB formula oracle. Only genuinely LOSSY
+formats (JPEG/MP3 — pillow/ffmpeg/librosa are not in this container)
+remain the documented NotImplementedError boundary; ``fake=True`` keeps
+the deterministic stand-in for plumbing tests of those.
 
 Scale notes: binary payloads dominate row size — the operators project
 metadata-only where possible (column pruning keeps payload bytes out of
@@ -61,12 +61,14 @@ def _fake_decode(buf: bytes) -> np.ndarray:
 
 
 def decode_image(buf: bytes, fake: bool = False) -> np.ndarray:
-    """Real decode for uncompressed formats (PPM/PGM/BMP — dispatched on
-    magic bytes, functions/mediacodec.py); NotImplementedError for
-    compressed formats unless ``fake=True`` requests the deterministic
-    stand-in."""
+    """Real decode for PPM/PGM/BMP **and PNG** (dispatched on magic
+    bytes; functions/mediacodec.py — PNG runs the from-scratch DEFLATE
+    inflate + filter reversal, differential-tested against stdlib zlib);
+    NotImplementedError only for lossy formats (JPEG) unless ``fake=True``
+    requests the deterministic stand-in."""
     from linear_kdtree_spark.functions.mediacodec import (
         decode_bmp,
+        decode_png,
         decode_ppm,
     )
 
@@ -76,12 +78,15 @@ def decode_image(buf: bytes, fake: bool = False) -> np.ndarray:
         return img if img.ndim == 3 else img[:, :, None]
     if buf[:2] == b"BM":
         return decode_bmp(buf)
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        img = decode_png(buf)
+        return img if img.ndim == 3 else img[:, :, None]
     if fake:
         return _fake_decode(buf)
     raise NotImplementedError(
-        "compressed-format codecs (PNG/JPEG) are not available in this "
-        "container; uncompressed PPM/PGM/BMP decode natively — pass "
-        "fake=True for the deterministic stand-in on other formats"
+        "lossy-format codecs (JPEG) are not available in this container; "
+        "PPM/PGM/BMP/PNG decode natively — pass fake=True for the "
+        "deterministic stand-in on other formats"
     )
 
 

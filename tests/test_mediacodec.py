@@ -172,6 +172,152 @@ def test_decode_image_dispatch():
     img = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
     assert np.array_equal(decode_image(encode_ppm(img)), img)
     assert np.array_equal(decode_image(encode_bmp(img)), img)
-    with pytest.raises(NotImplementedError):
+    # PNG now decodes for real: truncated bytes are a decode error, not
+    # a missing-codec boundary; only lossy formats remain unimplemented
+    with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0jpeg...")
     assert decode_image(b"\x89PNG!!", fake=True).shape == (8, 8, 3)
+
+
+# ------------------------------------------------------------------- PNG
+
+class TestPng:
+    def _rt(self, img, **kw):
+        from linear_kdtree_spark.functions.mediacodec import (
+            decode_png,
+            encode_png,
+        )
+
+        out = decode_png(encode_png(img, **kw))
+        assert out.shape == (img.shape[0], img.shape[1],
+                             1 if img.ndim == 2 else img.shape[2])
+        assert (out.reshape(img.shape) == img).all()
+
+    def test_roundtrip_rgb_compressed_and_stored(self):
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (19, 13, 3), dtype=np.uint8)
+        self._rt(img)
+        self._rt(img, compress=False)
+
+    def test_roundtrip_gray_ga_rgba(self):
+        rng = np.random.default_rng(6)
+        for ch in (1, 2, 4):
+            self._rt(rng.integers(0, 256, (7, 9, ch), dtype=np.uint8))
+        self._rt(rng.integers(0, 256, (7, 9), dtype=np.uint8))  # 2-D gray
+
+    def test_inflate_differential_vs_stdlib_zlib(self):
+        import zlib
+
+        from linear_kdtree_spark.functions.mediacodec import inflate
+
+        rng = np.random.default_rng(7)
+        for n in (0, 1, 257, 9001, 80_000):
+            # low-entropy data produces real LZ77 matches + huffman blocks
+            data = rng.integers(0, 7, n, dtype=np.uint8).tobytes()
+            for level in (0, 1, 6, 9):  # stored / fast / default / max
+                assert inflate(zlib.compress(data, level)[2:-4]) == data
+
+    def test_all_five_filter_types_unfilter(self):
+        """Hand-filter rows with each forward filter (PNG spec §9) and
+        check the decoder reverses them — the encoder only emits filter
+        0, so this is the only coverage of Sub/Up/Average/Paeth."""
+        from linear_kdtree_spark.functions.mediacodec import (
+            _paeth,
+            _zlib_compress_stored,
+            _crc32,
+        )
+        from linear_kdtree_spark.functions.mediacodec import decode_png
+
+        rng = np.random.default_rng(8)
+        h, w, ch = 5, 6, 3
+        img = rng.integers(0, 256, (h, w, ch), dtype=np.int64)
+        stride = w * ch
+        flat = img.reshape(h, stride)
+        raw = bytearray()
+        prev = np.zeros(stride, dtype=np.int64)
+        for r in range(h):
+            ftype = r % 5
+            cur = flat[r]
+            filt = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                x = int(cur[i])
+                if ftype == 0:
+                    filt[i] = x
+                elif ftype == 1:
+                    filt[i] = (x - a) % 256
+                elif ftype == 2:
+                    filt[i] = (x - b) % 256
+                elif ftype == 3:
+                    filt[i] = (x - (a + b) // 2) % 256
+                else:
+                    filt[i] = (x - _paeth(a, b, c)) % 256
+            raw.append(ftype)
+            raw += filt.astype(np.uint8).tobytes()
+            prev = cur
+        import struct
+
+        sig = b"\x89PNG\r\n\x1a\n"
+
+        def chunk(ctype, data):
+            return (len(data).to_bytes(4, "big") + ctype + data
+                    + _crc32(ctype + data).to_bytes(4, "big"))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        buf = (sig + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", _zlib_compress_stored(bytes(raw)))
+               + chunk(b"IEND", b""))
+        assert (decode_png(buf) == img).all()
+
+    def test_palette_png(self):
+        import struct
+
+        from linear_kdtree_spark.functions.mediacodec import (
+            _crc32,
+            _zlib_compress_stored,
+            decode_png,
+        )
+
+        sig = b"\x89PNG\r\n\x1a\n"
+
+        def chunk(ctype, data):
+            return (len(data).to_bytes(4, "big") + ctype + data
+                    + _crc32(ctype + data).to_bytes(4, "big"))
+
+        palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])
+        idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+        raw = b"".join(b"\x00" + row.tobytes() for row in idx)
+        ihdr = struct.pack(">IIBBBBB", 4, 2, 8, 3, 0, 0, 0)
+        buf = (sig + chunk(b"IHDR", ihdr) + chunk(b"PLTE", palette)
+               + chunk(b"IDAT", _zlib_compress_stored(raw))
+               + chunk(b"IEND", b""))
+        out = decode_png(buf)
+        want = np.frombuffer(palette, np.uint8).reshape(4, 3)[idx]
+        assert (out == want).all()
+
+    def test_corrupt_crc_rejected(self):
+        from linear_kdtree_spark.functions.mediacodec import (
+            decode_png,
+            encode_png,
+        )
+
+        img = np.zeros((4, 4, 3), dtype=np.uint8)
+        buf = bytearray(encode_png(img))
+        buf[20] ^= 0xFF  # inside IHDR data
+        with pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(buf))
+
+    def test_decode_image_dispatches_png(self):
+        from linear_kdtree_spark.functions.mediacodec import encode_png
+        from linear_kdtree_spark.operators.multimodal import decode_image
+
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+        assert (decode_image(encode_png(img)) == img).all()
+        gray = rng.integers(0, 256, (6, 5), dtype=np.uint8)
+        out = decode_image(encode_png(gray))
+        assert out.shape == (6, 5, 1)
