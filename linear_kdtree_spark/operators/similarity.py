@@ -95,9 +95,11 @@ def deterministic_centroids(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Deterministic coarse centroids: the vectors whose id ≡ 0 (mod
-    ceil(n/n_cells)) — a seed-free, reproducible quantizer (k-means would
-    introduce iteration-order nondeterminism; for web-scale recall the
-    bucketing only has to be balanced, not optimal)."""
+    ceil(n/n_cells)) — a seed-free, reproducible quantizer. Balanced for
+    id-shuffled corpora; clustered embedding spaces get uneven cells —
+    use :func:`kmeans_centroids` (deterministic fixed-point k-means,
+    same reproducibility) when recall/probe matters more than the
+    oracle-expressible simplicity this one buys."""
     n = vectors.count()
     stride = max(1, n // n_cells)
     return (
@@ -110,6 +112,83 @@ def deterministic_centroids(
     )
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_cells: int,
+    n_iters: int = 3,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """Data-adaptive DETERMINISTIC spherical k-means coarse quantizer
+    (VERDICT r3 next-#7): fixed iteration count, stride-quantizer
+    initialization, ties broken by lowest cell id, and — the part that
+    makes reruns byte-identical — per-cell means accumulated as
+    FIXED-POINT int64 sums (floor(x·2²⁰ + 0.5)), so the aggregation is
+    associative/commutative and immune to float summation-order
+    nondeterminism across partitions. Centroids are collected to the
+    driver between iterations (n_cells × dim values — tiny), keeping
+    every iteration's plan flat and the assignment join a broadcast.
+
+    ``sample_mod=m`` trains on the deterministic id-subsample
+    (id % m == 0) — the mini-batch knob for corpus-scale tables; the
+    returned centroids are applied to ALL vectors by the caller.
+    Centroids are NOT normalized: cosine assignment is scale-invariant.
+
+    Clustered embedding spaces get far better cell balance than the
+    stride quantizer (recall documented in
+    tests/test_pipeline_ops.py::test_ivf_kmeans_recall)."""
+    train = vectors.select(vec_id, vec_col)
+    if sample_mod is not None and sample_mod > 1:
+        train = train.filter(F.pmod(F.col(vec_id), F.lit(sample_mod)) == 0)
+    train = train.persist()
+    spark = vectors.sparkSession
+    cents = deterministic_centroids(train, n_cells, vec_id, vec_col)
+    scale = float(1 << 20)
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + 0.5).cast("long"),
+    )
+    for _ in range(n_iters):
+        assign = ivf_assign(train, cents, vec_id, vec_col)
+        exploded = (
+            train.join(assign, vec_id)
+            .select("cell", F.posexplode(q).alias("pos", "qv"))
+        )
+        sums = exploded.groupBy("cell", "pos").agg(
+            F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        new_rows = (
+            sums.groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "s"))
+                ).alias("ps"),
+                F.max("n").alias("n"),
+            )
+            .select(
+                "cell",
+                F.transform(
+                    "ps", lambda p: (p["s"] / F.col("n") / F.lit(scale))
+                    .cast("float")
+                ).alias("c_embedding"),
+            )
+            .collect()
+        )
+        got = {r["cell"] for r in new_rows}
+        # empty cells keep their previous centroid
+        keep = [r for r in cents.collect() if r["cell"] not in got]
+        cents = spark.createDataFrame(
+            sorted(
+                [(r["cell"], list(r["c_embedding"])) for r in new_rows]
+                + [(r["cell"], list(r["c_embedding"])) for r in keep]
+            ),
+            "cell long, c_embedding array<float>",
+        )
+    train.unpersist()
+    return cents
+
+
 def ivf_topk_cosine(
     vectors: DataFrame,
     queries: DataFrame,
@@ -120,10 +199,26 @@ def ivf_topk_cosine(
     query_id: str = "query_id",
     vec_col: str = "embedding",
     query_vec_col: str = "q_embedding",
+    quantizer: str = "stride",
+    kmeans_iters: int = 3,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's n_probe nearest
-    cells. Same output shape as brute_topk_cosine."""
-    cents = deterministic_centroids(vectors, n_cells, vec_id, vec_col).persist()
+    cells. Same output shape as brute_topk_cosine.
+
+    quantizer='stride' (default) is the seed-free id-stride quantizer —
+    the oracle-reproducible choice the ``ann_ivf`` driver gate pins.
+    quantizer='kmeans' trains :func:`kmeans_centroids` (deterministic
+    fixed-point spherical k-means) — better recall/probe on clustered
+    embedding spaces, still byte-identical across reruns."""
+    if quantizer == "kmeans":
+        cents = kmeans_centroids(
+            vectors, n_cells, kmeans_iters, vec_id, vec_col, sample_mod
+        ).persist()
+    else:
+        cents = deterministic_centroids(
+            vectors, n_cells, vec_id, vec_col
+        ).persist()
     assign = ivf_assign(vectors, cents, vec_id, vec_col)
     binned = vectors.join(assign, vec_id)
 

@@ -507,3 +507,65 @@ def test_quantize_embeddings_bounds_and_fidelity(spark):
         assert np.abs(q).max() == 127
         cos = (q @ v) / (np.linalg.norm(q) * np.linalg.norm(v))
         assert cos > 0.999, (vid, cos)
+
+
+def test_ivf_kmeans_recall_and_determinism(spark):
+    """Data-adaptive k-means quantizer on a CLUSTERED embedding space:
+    recall at least matches the id-stride quantizer (which lands uneven
+    cells on clustered data), and reruns are byte-identical (fixed-point
+    sums kill float summation-order nondeterminism)."""
+    from linear_kdtree_spark.operators.similarity import (
+        brute_topk_cosine,
+        ivf_topk_cosine,
+        kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(23)
+    n_clusters, per, d = 6, 40, 12
+    centers = rng.normal(size=(n_clusters, d)) * 5
+    v = np.vstack([
+        centers[c] + rng.normal(scale=0.3, size=(per, d))
+        for c in range(n_clusters)
+    ]).astype(np.float32)
+    # clustered ids are CONTIGUOUS — the stride quantizer's worst case
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(len(v)), "embedding": list(v)})
+    )
+    queries = df.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    brute = {(r["query_id"], r["vec_id"])
+             for r in brute_topk_cosine(df, queries, 3).collect()}
+
+    def recall(quantizer):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_topk_cosine(
+                df, queries, 3, n_cells=6, n_probe=1, quantizer=quantizer
+            ).collect()
+        }
+        return len(brute & got) / len(brute)
+
+    r_stride = recall("stride")
+    r_kmeans = recall("kmeans")
+    assert r_kmeans >= r_stride, (r_kmeans, r_stride)
+    assert r_kmeans >= 0.9, r_kmeans
+
+    a = kmeans_centroids(df, 6, n_iters=3).collect()
+    b = kmeans_centroids(df, 6, n_iters=3).collect()
+    assert sorted(map(tuple, ((r["cell"], tuple(r["c_embedding"])) for r in a))) == \
+        sorted(map(tuple, ((r["cell"], tuple(r["c_embedding"])) for r in b)))
+
+
+def test_kmeans_sample_mod_trains_on_subset(spark):
+    from linear_kdtree_spark.operators.similarity import kmeans_centroids
+
+    rng = np.random.default_rng(29)
+    v = rng.normal(size=(200, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(len(v)), "embedding": list(v)})
+    )
+    cents = kmeans_centroids(df, 4, n_iters=2, sample_mod=4).collect()
+    assert len(cents) == 4
+    assert all(len(r["c_embedding"]) == 8 for r in cents)
