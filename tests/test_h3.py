@@ -7,6 +7,7 @@ see), the global structural guarantees, and the Spark operator."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from linear_kdtree_spark.functions import h3
 from linear_kdtree_spark.functions.h3_tables import (
@@ -164,3 +165,27 @@ def test_h3_trig_free_core_spark(spark):
     out = h3_cells_from_face_hex2d(df, res).orderBy("face", "hx").collect()
     ref = h3.face_hex2d_to_cell(face, x, y, res)
     assert sorted(int(r2.h3_cell) for r2 in out) == sorted(ref.tolist())
+
+
+@pytest.mark.usefixtures("spark")
+def test_h3_parent_col_matches_numpy(spark):
+    from linear_kdtree_spark.operators.tile import (
+        assign_tiles_h3,
+        h3_parent_col,
+    )
+
+    lat, lng = _sample(2000, seed=51)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lat, lng)], "y double, x double"
+    )
+    out = (
+        assign_tiles_h3(df, 9)
+        .withColumn("parent", h3_parent_col(F.col("h3_cell"), 4))
+        .collect()
+    )
+    import numpy as np
+    got_child = np.array([r.h3_cell for r in out], dtype=np.int64)
+    got_parent = np.array([r.parent for r in out], dtype=np.int64)
+    want_parent = h3.cell_to_parent(got_child, 4)
+    assert (got_parent == want_parent).all()
+    assert (h3.cell_resolution(got_parent) == 4).all()
