@@ -258,6 +258,10 @@ def lkt_build(
                 num_partitions, node_counts,
                 {r["node_id"] for r in split_rows},
             )
+            for r in local_split_rows:
+                b = r.pop("bounds", None)
+                if b is not None:
+                    node_bounds[int(r["node_id"])] = tuple(b)
             split_rows.extend(local_split_rows)
             lineage.append(
                 {
@@ -650,6 +654,10 @@ def _local_finish_fused(
                         "value": float(sp.value),
                         "n_left": sp.n_left,
                         "n_right": sp.n_right,
+                        # exact subtree bbox: keeps SplitTree.node_bounds
+                        # leaf-granular on the fused path, so kNN radius
+                        # bounds do not degrade to ~threshold-size regions
+                        "bounds": res.split_bounds.get(nid),
                     }
                 )
         if srows:

@@ -207,6 +207,7 @@ def build_local_fast(
     code_p = np.zeros(n, dtype=np.int64)
     sk_p = np.zeros(n, dtype=np.int64)
     splits: dict[int, OracleSplit] = {}
+    split_bounds: dict[int, tuple] = {}
 
     # (start, end, depth, node_id, code_acc, sk_acc); left pushed LAST so
     # it pops first — traversal order does not affect results, only cache
@@ -228,6 +229,16 @@ def build_local_fast(
                 splits[nid] = OracleSplit(
                     node_id=nid, depth=d, axis=axis, value=sv,
                     n_left=nl, n_right=cnt - nl,
+                )
+                # exact data bbox of this split's subtree — flows into
+                # SplitTree.node_bounds so the kNN radius bound stays
+                # tight to ~leaf granularity on the fused-build path
+                # (permutation-invariant, so any time in the frame works)
+                xseg = xs[s:e]
+                yseg = ys[s:e]
+                split_bounds[nid] = (
+                    float(xseg.min()), float(xseg.max()),
+                    float(yseg.min()), float(yseg.max()),
                 )
                 right = ~left
                 for arr in (xs, ys, orig):
@@ -271,6 +282,7 @@ def build_local_fast(
         max_depth=max_depth,
     )
     res.kd_perm = orig
+    res.split_bounds = split_bounds
     return res
 
 
