@@ -189,3 +189,43 @@ def test_build_leaf_size_bounds_tree(spark, random_points):
         assert r["n_left"] + r["n_right"] > 200
     # and the tree stays small: n / leaf_size bound
     assert idx.splits.count() <= 2 * len(keys) // 200
+
+
+def test_fused_build_records_leaf_granular_bounds(spark):
+    """The fused local finish must ship per-split bboxes into
+    tree.node_bounds — without them the kNN radius bound degrades to the
+    handoff-threshold region size (r4 regression: 53M candidates for 40
+    queries). Bounds must extend well past the distributed levels and
+    be exact data bboxes."""
+    import numpy as np
+    import pandas as pd
+
+    from linear_kdtree_spark.operators.build import lkt_build
+    from linear_kdtree_spark.operators.tree import node_depth
+
+    rng = np.random.default_rng(31)
+    n = 20_000
+    df = spark.createDataFrame(pd.DataFrame({
+        "key": np.arange(n),
+        "x": rng.normal(50, 10, n).astype(np.float64),
+        "y": rng.normal(50, 10, n).astype(np.float64),
+    }))
+    idx = lkt_build(df, max_depth=16, strategy="mean", leaf_size=64,
+                    local_threshold=5_000)
+    depths = [node_depth(nid) for nid in idx.tree.node_bounds]
+    # distributed phase stops at ~log2(n/threshold) = 2 levels; local
+    # splits must contribute bounds at leaf depth (64-point leaves at
+    # depth ~8)
+    assert max(depths) >= 6, sorted(set(depths))
+    # spot-check exactness: a recorded deep node's bbox contains exactly
+    # its subtree's points
+    pts = idx.points.toPandas()
+    deep = max(idx.tree.node_bounds, key=node_depth)
+    from linear_kdtree_spark.operators.tree import node_interval
+
+    lo, hi = node_interval(deep, idx.tree.max_depth)
+    sub = pts[(pts.sort_key >= lo) & (pts.sort_key < hi)]
+    xmin, xmax, ymin, ymax = idx.tree.node_bounds[deep]
+    assert len(sub) > 0
+    assert np.isclose(sub.x.min(), xmin) and np.isclose(sub.x.max(), xmax)
+    assert np.isclose(sub.y.min(), ymin) and np.isclose(sub.y.max(), ymax)
