@@ -383,6 +383,79 @@ def is_pentagon(h):
     return pent & ~nonzero
 
 
+def compact_cells(h):
+    """H3 compactCells semantics: repeatedly replace complete sibling
+    sets (all 7 children of a parent — 6 for pentagon parents, whose K
+    child is deleted) with the parent, until no set is complete. Input
+    cells must share one resolution and be unique; output is the
+    equivalent minimal multi-resolution cover, sorted."""
+    h = np.unique(np.asarray(h, dtype=np.int64))
+    if len(h) == 0:
+        return h
+    res = cell_resolution(h)
+    if not (res == res[0]).all():
+        raise ValueError("compact_cells input must share one resolution")
+    out = []
+    cur = h
+    r = int(res[0])
+    while r > 0 and len(cur) >= 6:
+        parents = cell_to_parent(cur, r - 1)
+        uniq, counts = np.unique(parents, return_counts=True)
+        pent = is_pentagon(uniq)
+        need = np.where(pent, 6, 7)
+        full = counts == need
+        full_parents = uniq[full]
+        keep = ~np.isin(parents, full_parents)
+        out.append(cur[keep])
+        cur = full_parents
+        r -= 1
+    out.append(cur)
+    return np.sort(np.concatenate(out))
+
+
+def uncompact_cells(h, res: int):
+    """Inverse of :func:`compact_cells`: expand every cell to its
+    descendants at ``res`` (pentagon subtrees skip deleted-K branches).
+    Exact inverse on compacted sets (tested)."""
+    h = np.asarray(h, dtype=np.int64)
+    if len(h) == 0:
+        return h
+    if np.any(cell_resolution(h) > res):
+        raise ValueError("uncompact target res must be >= every cell")
+    frontier = h
+    out = []
+    for _ in range(res + 1):
+        r = cell_resolution(frontier)
+        done = r == res
+        out.append(frontier[done])
+        frontier = frontier[~done]
+        if len(frontier) == 0:
+            break
+        r = r[~done]
+        # children: bump res nibble, set digit r+1 to each d (slot held 7)
+        childs = []
+        for d in range(7):
+            shift = 45 - 3 * (r + 1)
+            c = (
+                (frontier & ~(np.int64(0xF) << 52))
+                | ((r + 1) << 52)
+            )
+            c = c & ~(np.int64(0x7) << shift) | (np.int64(d) << shift)
+            childs.append(c)
+        frontier = np.concatenate(childs)
+        # drop deleted pentagon K-subsequence ids
+        bc = cell_base(frontier)
+        pent = _BC_PENT[bc]
+        fres = cell_resolution(frontier)
+        lead = np.zeros(len(frontier), dtype=np.int64)
+        for rr in range(1, MAX_RES + 1):
+            d = (frontier >> (45 - 3 * rr)) & 0x7
+            d = np.where(rr <= fres, d, 0)
+            lead = np.where((lead == 0) & (d != 0), d, lead)
+        frontier = frontier[~(pent & (lead == K_DIGIT))]
+    return np.sort(np.concatenate(out))
+
+
 def h3_to_string(h: int) -> str:
     return format(int(h) & ((1 << 64) - 1), "x")
 

@@ -189,3 +189,33 @@ def test_h3_parent_col_matches_numpy(spark):
     want_parent = h3.cell_to_parent(got_child, 4)
     assert (got_parent == want_parent).all()
     assert (h3.cell_resolution(got_parent) == 4).all()
+
+
+def test_compact_uncompact_roundtrip():
+    # full descendant set of one hexagon base cell collapses to it
+    bc16 = h3.latlng_to_cell_scalar(
+        *map(float, np.rad2deg([0.803582649718989942, 1.248397419617396099])),
+        0,
+    )  # a res-0 cell (face-1 area); use any: recompute from its id
+    full = h3.uncompact_cells([bc16], 2)
+    pent = bool(h3.is_pentagon([bc16])[0])
+    assert len(full) == (41 if pent else 49)
+    back = h3.compact_cells(full)
+    assert back.tolist() == [bc16]
+    # partial set stays partial at the right places
+    part = full[:-1]
+    comp = h3.compact_cells(part)
+    assert len(comp) > 1
+    again = h3.uncompact_cells(comp, 2)
+    assert sorted(again.tolist()) == sorted(part.tolist())
+
+
+def test_compact_pentagon_subtree():
+    # pentagon base cell 4: res-1 children = 6 (K deleted), res-2 = 41
+    pent_cell = (1 << 59) | (0 << 52) | (4 << 45) | ((1 << 45) - 1)
+    kids = h3.uncompact_cells([pent_cell], 1)
+    assert len(kids) == 6
+    assert h3.compact_cells(kids).tolist() == [pent_cell]
+    deep = h3.uncompact_cells([pent_cell], 2)
+    assert len(deep) == 41
+    assert h3.compact_cells(deep).tolist() == [pent_cell]
