@@ -55,6 +55,12 @@ from pyspark.sql import types as T
 from linear_kdtree_spark.oracle import MAX_DEPTH
 from linear_kdtree_spark.operators.tree import SplitTree
 
+# levels with at most this many split nodes inline the node→split-value
+# table as a literal map expression instead of a broadcast join (see the
+# loop body); above it the map's per-row linear scan would beat the hash
+# probe no longer and codegen size grows, so the join path takes over.
+SPLIT_MAP_MAX = 64
+
 SPLITS_SCHEMA = T.StructType(
     [
         T.StructField("node_id", T.LongType(), False),
@@ -309,8 +315,27 @@ def lkt_build(
         if not splittable:
             break
 
-        sdf = spark.createDataFrame(splittable, "node long, sv double")
-        joined = pts.join(F.broadcast(sdf), "node", "left")
+        if len(splittable) <= SPLIT_MAP_MAX:
+            # the distributed phase is the TOP of the tree: ≤ n/threshold
+            # active nodes per level, so the split table is tiny. A literal
+            # map lookup keeps the level transform inside ONE whole-stage-
+            # codegen projection — no broadcast exchange, no join node, no
+            # per-level createDataFrame round-trip — which is precisely the
+            # per-level fixed cost that caps the high-parallelism leg
+            # (BENCH/SCALING.md r4: 5 sequential stats jobs × ~1 s fixed
+            # scale 1.4× vs the 0.988 substrate control). Lookup is a
+            # linear scan of ≤ SPLIT_MAP_MAX entries — cheaper per row
+            # than a hash-join probe at this size. try_element_at: NULL on
+            # missing key (ANSI-safe), same semantics as the left join.
+            m = F.create_map(
+                *[F.lit(v) for pair in splittable for v in pair]
+            )
+            joined = pts.withColumn(
+                "sv", F.try_element_at(m, F.col("node"))
+            )
+        else:  # deep distributed builds (leaf_size-bounded, e.g. resume)
+            sdf = spark.createDataFrame(splittable, "node long, sv double")
+            joined = pts.join(F.broadcast(sdf), "node", "left")
         has = F.col("sv").isNotNull()
         left = F.col(axis).cast("double") < F.col("sv")
         right_bit = F.when(left, F.lit(0)).otherwise(F.lit(1))

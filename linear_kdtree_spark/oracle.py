@@ -230,16 +230,6 @@ def build_local_fast(
                     node_id=nid, depth=d, axis=axis, value=sv,
                     n_left=nl, n_right=cnt - nl,
                 )
-                # exact data bbox of this split's subtree — flows into
-                # SplitTree.node_bounds so the kNN radius bound stays
-                # tight to ~leaf granularity on the fused-build path
-                # (permutation-invariant, so any time in the frame works)
-                xseg = xs[s:e]
-                yseg = ys[s:e]
-                split_bounds[nid] = (
-                    float(xseg.min()), float(xseg.max()),
-                    float(yseg.min()), float(yseg.max()),
-                )
                 right = ~left
                 for arr in (xs, ys, orig):
                     seg = arr[s:e]
@@ -264,6 +254,35 @@ def build_local_fast(
             sp.left_child = 2 * nid + 1
         if 2 * nid + 2 in splits:
             sp.right_child = 2 * nid + 2
+
+    # exact data bbox per split subtree — flows into SplitTree.node_bounds
+    # so the kNN radius bound stays leaf-granular on the fused-build path.
+    # Computed ONCE from the final partition order (each node's rows are a
+    # contiguous slice): leaf bboxes via 4 reduceat passes over n, then a
+    # bottom-up union (descending ids ⇒ children before parents) — O(n +
+    # #nodes) total, vs the per-level min/max this replaces (O(n·depth),
+    # measured ~20 % of the clean fused build at 4.8 M, VERDICT r4 #3).
+    # Bit-identical: min/max over the same value multiset, any order.
+    if n and splits:
+        seg_start = np.flatnonzero(np.r_[True, node_p[1:] != node_p[:-1]])
+        leaf_ids = node_p[seg_start]
+        xmn = np.minimum.reduceat(xs, seg_start)
+        xmx = np.maximum.reduceat(xs, seg_start)
+        ymn = np.minimum.reduceat(ys, seg_start)
+        ymx = np.maximum.reduceat(ys, seg_start)
+        bb: dict[int, tuple] = {
+            int(l): (float(xmn[i]), float(xmx[i]), float(ymn[i]), float(ymx[i]))
+            for i, l in enumerate(leaf_ids)
+        }
+        for nid in sorted(splits, reverse=True):
+            lb = bb[2 * nid + 1]
+            rb = bb[2 * nid + 2]
+            u = (
+                min(lb[0], rb[0]), max(lb[1], rb[1]),
+                min(lb[2], rb[2]), max(lb[3], rb[3]),
+            )
+            bb[nid] = u
+            split_bounds[nid] = u
 
     # scatter back to original point order (build_oracle's contract); the
     # partition order itself is exactly kd order (left subtree first,
