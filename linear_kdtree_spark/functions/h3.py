@@ -248,11 +248,17 @@ def _down_ap7r(i, j, k):
     return _ijk_normalize(ni, nj, nk)
 
 
-def face_hex2d_to_cell(face, x, y, res: int, table=None):
+def face_hex2d_to_cell(face, x, y, res: int, table=None,
+                       on_invalid: str = "raise"):
     """int64 H3 ids from (face, hex2d x, y at ``res`` scaling) — the
     trig-free gated core: hex rounding, aperture-7 up-aggregation with
     exact integer lround-by-7, base-cell lookup, rotations, pentagon
-    leading-K adjustment, id packing (h3Index.c::_faceIjkToH3 shape)."""
+    leading-K adjustment, id packing (h3Index.c::_faceIjkToH3 shape).
+
+    ``on_invalid``: coordinates beyond the face coverage region either
+    ``"raise"`` (library default — loud for the scalar/test path) or map
+    to ``"null"`` → sentinel 0, reference H3's H3_NULL, so one bad row
+    cannot fail a whole Spark job (ADVICE r4); callers filter ``== 0``."""
     if not 0 <= res <= MAX_RES:
         raise ValueError(f"res must be in [0, {MAX_RES}]")
     face = np.asarray(face, dtype=np.int64)
@@ -274,12 +280,19 @@ def face_hex2d_to_cell(face, x, y, res: int, table=None):
         di, dj, dk = _ijk_normalize(li - ci, lj - cj, lk - ck)
         digits[:, r - 1] = 4 * di + 2 * dj + dk
 
-    if np.any((i > 2) | (j > 2) | (k > 2)):
-        bad = np.where((i > 2) | (j > 2) | (k > 2))[0][:3]
-        raise ValueError(
-            f"coordinates out of base-cell range (rows {bad.tolist()}): "
-            "input beyond the face coverage region"
-        )
+    invalid = (i > 2) | (j > 2) | (k > 2)
+    if np.any(invalid):
+        if on_invalid == "raise":
+            bad = np.where(invalid)[0][:3]
+            raise ValueError(
+                f"coordinates out of base-cell range (rows {bad.tolist()}):"
+                " input beyond the face coverage region"
+            )
+        # sentinel path: neutralize bad rows so the table lookups stay in
+        # bounds, then zero their ids at the end
+        i = np.where(invalid, 0, i)
+        j = np.where(invalid, 0, j)
+        k = np.where(invalid, 0, k)
     bc = bc_tab[face, i, j, k]
     rot = rot_tab[face, i, j, k]
 
@@ -334,13 +347,17 @@ def face_hex2d_to_cell(face, x, y, res: int, table=None):
         h = h | (digits[:, r - 1] << (45 - 3 * r))
     for r in range(res + 1, MAX_RES + 1):
         h = h | (np.int64(7) << (45 - 3 * r))
+    if on_invalid != "raise" and np.any(invalid):
+        h = np.where(invalid, np.int64(0), h)
     return h
 
 
-def latlng_to_cell(lat_deg, lng_deg, res: int, table=None):
+def latlng_to_cell(lat_deg, lng_deg, res: int, table=None,
+                   on_invalid: str = "raise"):
     """Vectorized latLngToCell: trig front-end + trig-free core."""
     face, x, y = latlng_to_face_hex2d(lat_deg, lng_deg, res)
-    return face_hex2d_to_cell(face, x, y, res, table=table)
+    return face_hex2d_to_cell(face, x, y, res, table=table,
+                              on_invalid=on_invalid)
 
 
 def latlng_to_cell_scalar(lat_deg: float, lng_deg: float, res: int,

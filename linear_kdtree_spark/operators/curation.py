@@ -123,13 +123,21 @@ def cap_per_group(
     rows per input partition). Phase 2 ranks the ≤ n·num_partitions
     survivors per group — identical ranks to a direct global window when
     ``order_cols`` is a total order, since every dropped row ranks > n."""
-    w1 = Window.partitionBy("_cap_pid", group_col).orderBy(*order_cols)
+    # helper names must not collide with caller columns (they would be
+    # silently replaced and then dropped — ADVICE r4)
+    pid_col, r1_col = "__lkt_cap_pid", "__lkt_cap_r1"
+    for c in (pid_col, r1_col):
+        if c in df.columns:
+            raise ValueError(
+                f"cap_per_group: input already has a column named {c!r}"
+            )
+    w1 = Window.partitionBy(pid_col, group_col).orderBy(*order_cols)
     w2 = Window.partitionBy(group_col).orderBy(*order_cols)
     return (
-        df.withColumn("_cap_pid", F.spark_partition_id())
-        .withColumn("_cap_r1", F.row_number().over(w1))
-        .filter(F.col("_cap_r1") <= n)
-        .drop("_cap_pid", "_cap_r1")
+        df.withColumn(pid_col, F.spark_partition_id())
+        .withColumn(r1_col, F.row_number().over(w1))
+        .filter(F.col(r1_col) <= n)
+        .drop(pid_col, r1_col)
         .withColumn(rank_col, F.row_number().over(w2))
         .filter(F.col(rank_col) <= n)
     )

@@ -311,9 +311,9 @@ def cosine_near_dup_pairs(
             vec_id, vec_col, F.posexplode("sigs").alias("band", "bucket")
         )
     )
-    # guard reads buckets twice (size pass + anti-join): persist so the
-    # signature matmul UDF runs once per vector
-    bucketed = bucketed.persist()
+    # no persist needed: the single-pass guard's window exchange on
+    # (band, bucket) materializes the signature rows once, and both join
+    # sides below read it back as a ReusedExchange
     bucketed = drop_oversized_buckets(
         bucketed, ["band", "bucket"], max_bucket_size, "embed_neardup"
     )

@@ -220,6 +220,7 @@ def assign_tiles_h3(df: DataFrame, resolution: int,
                 lat.to_numpy(dtype=np.float64),
                 lon.to_numpy(dtype=np.float64),
                 resolution,
+                on_invalid="null",  # bad row → H3_NULL, not a dead job
             )
         )
 
@@ -255,6 +256,7 @@ def h3_cells_from_face_hex2d(
                 x.to_numpy(dtype=np.float64),
                 y.to_numpy(dtype=np.float64),
                 res,
+                on_invalid="null",  # bad row → H3_NULL, not a dead job
             )
         )
 
