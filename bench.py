@@ -92,9 +92,15 @@ def run_suite(sf_dir: str, cpus: int, reps: int | None = None) -> dict:
             ).alias("y"),
         )
         .repartition(cpus * 2)
-        .persist()
     )
-    n_points = timed("load_points", lambda: pts.count(), stage_reps=1)
+    # best-of-reps like every other stage (r4 verdict: single-rep had no
+    # noise floor by construction); unpersist between reps so each rep
+    # pays the real scan+amplify+persist cost, last rep leaves it cached
+    n_points = timed(
+        "load_points",
+        lambda: pts.persist().count(),
+        cleanup=lambda _: pts.unpersist(blocking=True),
+    )
 
     idx = timed(
         "build",

@@ -175,16 +175,20 @@ def lkt_build(
     input precision (used where results must match a float64 oracle).
 
     **Hybrid two-phase build**: the per-level AGGREGATION is distributed
-    (one map-side-combined shuffle each) only while some node still holds
-    more than ``local_threshold`` points; as soon as every active node
-    fits in a task, ONE range shuffle keyed on each subtree's
+    (one map-side-combined shuffle each) only for nodes still holding
+    more than ``local_threshold`` points — a node is WITHDRAWN from the
+    distributed phase the moment it fits a task (so under skew each
+    level's stats scan shrinks to the heavy spine instead of re-scanning
+    all mass until the global max fits). When no node exceeds the
+    threshold, ONE range shuffle keyed on each subtree's
     sort_key-interval start both co-locates whole subtrees and places
     partitions in global kd order, and a ``mapInPandas`` pass finishes
-    every subtree locally with the numpy implementation of the identical
-    canonical semantics (oracle.build_oracle with depth/axis offset); the
-    terminal kd order then costs only a partition-local sort — no second
-    full-data shuffle (see :func:`_local_finish_fused`). At 10^12 points
-    with a 2e5 threshold that is ~22 distributed levels + one local pass.
+    every deferred subtree locally — from its own depth — with the numpy
+    implementation of the identical canonical semantics
+    (oracle.build_oracle with depth/axis offset); the terminal kd order
+    then costs only a partition-local sort — no second full-data shuffle
+    (see :func:`_local_finish_fused`). At 10^12 points with a 2e5
+    threshold that is ~22 distributed levels + one local pass.
     Set ``local_threshold=0`` to force the pure level-synchronous path
     (resumable/checkpointed builds use it; they need durable per-level
     state).
@@ -235,6 +239,17 @@ def lkt_build(
     persist_every = int(os.environ.get("SPARK_GRAFT_PERSIST_EVERY", "3"))
     min_split = max(2, leaf_size + 1)
     fused_out = None  # set by the fused local finish (final, materialized)
+    # nodes withdrawn from the distributed phase the moment they fit a
+    # task (cnt ≤ local_threshold): they go INACTIVE immediately and the
+    # fused finish builds their whole subtree from their own depth. Under
+    # skew this shrinks every later per-level stats scan to the heavy
+    # spine instead of re-scanning all mass until the GLOBAL max fits
+    # (VERDICT r4 next-#1: the sequential stats phase was the measured
+    # non-scaling cost). Exactness: the local kernel applies the identical
+    # canonical split semantics from the node's own depth, so the result
+    # is the one the distributed loop would have produced
+    # (tests/test_differential.py pins fused ≡ level-sync).
+    deferred: set[int] = set()
 
     for depth in range(start_depth, max_depth):
         t_level = time.time()
@@ -252,60 +267,36 @@ def lkt_build(
                 float(r[yb[0]]), float(r[yb[1]]),
             )
 
-        if (
-            local_threshold
-            and depth < max_depth - 1
-            and stats
-            and max(r["cnt"] for r in stats) <= local_threshold
-            and any(r["cnt"] >= min_split for r in stats)
-        ):
-            fused_out, local_split_rows = _local_finish_fused(
-                spark, pts, depth, max_depth, strategy, min_split, coord_type,
-                num_partitions, node_counts,
-                {r["node_id"] for r in split_rows},
-            )
-            for r in local_split_rows:
-                b = r.pop("bounds", None)
-                if b is not None:
-                    node_bounds[int(r["node_id"])] = tuple(b)
-            split_rows.extend(local_split_rows)
-            lineage.append(
-                {
-                    "depth": depth,
-                    "n_active_nodes": len(stats),
-                    "n_split_nodes": -1,  # finished locally from here down
-                    "n_active_points": int(sum(r["cnt"] for r in stats)),
-                    "max_node_points": int(max(r["cnt"] for r in stats)),
-                    "min_node_points": int(min(r["cnt"] for r in stats)),
-                    "local_finish": True,
-                    "stats_sec": round(t_stats, 3),
-                    "level_sec": round(time.time() - t_level, 3),
-                }
-            )
-            break
-
+        defer_ok = bool(local_threshold) and depth < max_depth - 1
         splittable = []
+        n_deferred_here = 0
         for r in stats:
             degenerate = (
                 r["sv"] is None
                 or not (r["sv"] > r["mn"])  # left side would be empty
                 or not (r["sv"] <= r["mx"])  # right side would be empty
             )
-            if r["cnt"] >= min_split and not degenerate:
-                splittable.append((int(r["node"]), float(r["sv"])))
-                split_rows.append(
-                    {
-                        "node_id": int(r["node"]),
-                        "depth": depth,
-                        "axis": depth % 2,
-                        "value": float(r["sv"]),
-                    }
-                )
+            if r["cnt"] < min_split or degenerate:
+                continue  # a decided leaf — the fused pass must NOT retry
+            if defer_ok and r["cnt"] <= local_threshold:
+                deferred.add(int(r["node"]))
+                n_deferred_here += 1
+                continue
+            splittable.append((int(r["node"]), float(r["sv"])))
+            split_rows.append(
+                {
+                    "node_id": int(r["node"]),
+                    "depth": depth,
+                    "axis": depth % 2,
+                    "value": float(r["sv"]),
+                }
+            )
         lineage.append(
             {
                 "depth": depth,
                 "n_active_nodes": len(stats),
                 "n_split_nodes": len(splittable),
+                "n_deferred_nodes": n_deferred_here,
                 "n_active_points": int(sum(r["cnt"] for r in stats)),
                 "max_node_points": int(max((r["cnt"] for r in stats), default=0)),
                 "min_node_points": int(min((r["cnt"] for r in stats), default=0)),
@@ -378,8 +369,10 @@ def lkt_build(
 
     # child counts for distributed split nodes at the deepest level (loop
     # may have ended at max_depth before their children were aggregated);
-    # local-phase rows already carry exact counts
-    count_src = fused_out if fused_out is not None else pts
+    # local-phase rows already carry exact counts. MUST run before the
+    # fused finish: uncounted final-level children are leaves the fused
+    # routing would otherwise silently drop (its route table is built from
+    # node_counts).
     unpatched = [r for r in split_rows if "n_left" not in r]
     missing = [
         r["node_id"]
@@ -389,10 +382,43 @@ def lkt_build(
     if missing:
         lo = min((1 << (node_depth_py(m) + 1)) - 1 for m in missing)
         extra = (
-            count_src.filter(F.col("node") >= lo).groupBy("node").count().collect()
+            pts.filter(F.col("node") >= lo).groupBy("node").count().collect()
         )
         for r in extra:
             node_counts[int(r["node"])] = int(r["count"])
+
+    if deferred:
+        t_fused = time.time()
+        fused_out, local_split_rows = _local_finish_fused(
+            spark, pts, max_depth, strategy, min_split, coord_type,
+            num_partitions, node_counts,
+            {r["node_id"] for r in split_rows}, deferred,
+        )
+        for r in local_split_rows:
+            b = r.pop("bounds", None)
+            if b is not None:
+                node_bounds[int(r["node_id"])] = tuple(b)
+        split_rows.extend(local_split_rows)
+        lineage.append(
+            {
+                "depth": -1,  # the fused local-finish pass (all subtrees)
+                "n_active_nodes": len(deferred),
+                "n_split_nodes": -1,
+                "n_deferred_nodes": len(deferred),
+                "n_active_points": int(
+                    sum(node_counts.get(g, 0) for g in deferred)
+                ),
+                "max_node_points": int(
+                    max((node_counts.get(g, 0) for g in deferred), default=0)
+                ),
+                "min_node_points": int(
+                    min((node_counts.get(g, 0) for g in deferred), default=0)
+                ),
+                "local_finish": True,
+                "stats_sec": 0.0,
+                "level_sec": round(time.time() - t_fused, 3),
+            }
+        )
 
     for r in unpatched:
         r["n_left"] = node_counts.get(2 * r["node_id"] + 1, 0)
@@ -509,8 +535,8 @@ def _verified_tokens(spark, n_parts: int):
 
 
 def _local_finish_fused(
-    spark, pts, depth, max_depth, strategy, min_split, coord_type,
-    num_partitions, node_counts, split_ids,
+    spark, pts, max_depth, strategy, min_split, coord_type,
+    num_partitions, node_counts, split_ids, deferred,
 ) -> tuple[DataFrame, list[dict]]:
     """Phase 2 of the hybrid build, fused with the terminal kd ordering —
     ONE shuffle and ONE pass from the loop state to the final, materialized,
@@ -526,14 +552,19 @@ def _local_finish_fused(
        also beats sampled quantiles under skew — the straggler bound is
        max(subtree) instead of a sampling artifact.
     2. **One mapInPandas pass emits the FINAL table.** Each partition
-       pre-sorts its rows by (node, key), finishes every subtree with the
-       serial canonical algorithm (oracle.build_local_fast — bit-identical
-       to build_oracle, O(n·depth)), remaps local heap ids into the global
+       pre-sorts its rows by (node, key), finishes every ``deferred``
+       subtree with the serial canonical algorithm from that subtree's
+       OWN depth (oracle.build_local_fast — bit-identical to
+       build_oracle, O(n·depth); deferred subtrees root at different
+       depths because each withdrew from the distributed phase the
+       moment it fit a task), remaps local heap ids into the global
        numbering (global_node + 1 = (g + 1)·2^p + local_path_bits), and
        composes path_len/code/sort_key from the subtree's integer prefix
        constants — emitting rows already in exact kd order (subtrees by
-       sort_key-interval start, rows by (sort_key, key)). No staging
-       cache, no derived-column pass, no terminal sort.
+       sort_key-interval start, rows by (sort_key, key)). Groups NOT in
+       ``deferred`` are leaves the distributed phase already decided
+       (< min_split or a degenerate split) and are emitted verbatim. No
+       staging cache, no derived-column pass, no terminal sort.
     3. **Split rows return via an accumulator** (one per ~leaf_size
        points), deduped by node_id so a cache-eviction recompute cannot
        double-add. The count action that materializes the output is the
@@ -545,7 +576,6 @@ def _local_finish_fused(
     from linear_kdtree_spark.functions.morton import fast_derived_cols
     from linear_kdtree_spark.oracle import build_local_fast
 
-    level_lo = (1 << depth) - 1
     local_strategy = "median" if strategy == "median_approx" else strategy
     dtype = np.float32 if coord_type == "float" else np.float64
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
@@ -656,8 +686,12 @@ def _local_finish_fused(
             g = int(uniq[gi])
             s, e = edges[gi], edges[gi + 1]
             plen_g, code_g, sk_g, _ = _node_prefix(g, max_depth)
-            if g < level_lo:
-                # went inactive at an earlier level — no further splits
+            if g not in deferred:
+                # a leaf the distributed phase already DECIDED (too small
+                # or a degenerate split there) — honoring that decision
+                # keeps the fused path consistent with level-sync even in
+                # the last-ulp case where a locally recomputed mean would
+                # flip the degeneracy verdict
                 nrows = e - s
                 yield pd.DataFrame(
                     {
@@ -675,12 +709,14 @@ def _local_finish_fused(
                     copy=False,
                 )
                 continue
+            # deferred subtrees root at different depths (each withdrew
+            # the moment it fit a task) — build each from its OWN depth
             res = build_local_fast(
                 xs[s:e],
                 ys[s:e],
-                max_depth=max_depth - depth,
+                max_depth=max_depth - plen_g,
                 strategy=local_strategy,
-                depth_offset=depth,
+                depth_offset=plen_g,
                 min_split=min_split,
                 coord_dtype=dtype,
             )
@@ -706,7 +742,7 @@ def _local_finish_fused(
                 srows.append(
                     {
                         "node_id": ((g + 1) << ps) + (nid + 1 - (1 << ps)) - 1,
-                        "depth": depth + sp.depth,
+                        "depth": plen_g + sp.depth,
                         "axis": sp.axis,
                         "value": float(sp.value),
                         "n_left": sp.n_left,

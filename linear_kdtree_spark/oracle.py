@@ -184,12 +184,14 @@ def build_local_fast(
     ``build_oracle`` re-sorts ALL active points by node id every level
     (O(n log n · depth) with thousands of ``np.split`` views at deep
     levels; measured 21 s for a 3 M-point subtree). This version keeps
-    each node's points contiguous via an explicit-stack in-place STABLE
-    partition — O(n · depth) contiguous numpy ops. Identity holds because
-    a stable partition preserves each subset's relative order, so every
-    ``np.mean`` / ``np.sort`` sees the identical value sequence and every
-    split value is bit-equal (differential-tested in
-    tests/test_oracle.py).
+    each node's points contiguous via an in-place STABLE partition that
+    is fully VECTORIZED across every splitting segment of a level (one
+    cumsum-based O(active-rows) pass — the earlier per-segment
+    mask+concat loop measured ~14 s per 2.4 M-point fused-build task;
+    this kernel ~1 s). Identity holds because a stable partition
+    preserves each subset's relative order, so every ``np.mean`` /
+    ``np.sort`` sees the identical value sequence and every split value
+    is bit-equal (differential-tested in tests/test_oracle.py).
 
     Extra: ``result.kd_perm`` — indices in physical kd order (left
     subtree first = depth-first layout, ties by original position), free
@@ -209,45 +211,111 @@ def build_local_fast(
     splits: dict[int, OracleSplit] = {}
     split_bounds: dict[int, tuple] = {}
 
-    # (start, end, depth, node_id, code_acc, sk_acc); left pushed LAST so
-    # it pops first — traversal order does not affect results, only cache
-    # locality; contiguous-slice views keep every op copy-light
-    stack = [(0, n, 0, 0, 0, 0)]
-    while stack:
-        s, e, d, nid, code_acc, sk_acc = stack.pop()
-        cnt = e - s
-        leaf = True
-        if cnt >= min_split and d < max_depth:
-            axis = (d + depth_offset) % 2
-            vals = (xs if axis == 0 else ys)[s:e]
-            sv = split_value(vals, strategy)
-            left = vals < sv
-            nl = int(left.sum())
+    # Level-synchronous VECTORIZED traversal: per level, one gathered
+    # O(active-rows) pass computes the stable partition of EVERY splitting
+    # segment at once with cumulative sums — no per-segment mask/concat
+    # loop (that loop's per-segment data movement measured ~14 s per
+    # 2.4 M-point fused-build task; this kernel removes it). Split VALUES
+    # are still taken per segment through :func:`split_value` on the same
+    # contiguous views the recursive form sees — identical value sequence,
+    # identical pairwise summation, bit-equal splits.
+    seg_starts = np.array([0], dtype=np.int64)
+    seg_lens = np.array([n], dtype=np.int64) if n else np.empty(0, np.int64)
+    if not n:
+        seg_starts = np.empty(0, np.int64)
+    seg_nids = np.zeros(len(seg_starts), dtype=np.int64)
+    seg_codes = np.zeros(len(seg_starts), dtype=np.int64)
+    seg_sks = np.zeros(len(seg_starts), dtype=np.int64)
+    d = 0
+    while len(seg_starts):
+        axis = (d + depth_offset) % 2
+        vals = xs if axis == 0 else ys
+        n_seg = len(seg_starts)
+        # candidates: big enough and under the depth cap; the rest leaf
+        # at THIS depth (reference nocuda.cpp:75,113)
+        if d < max_depth:
+            can = seg_lens >= min_split
+        else:
+            can = np.zeros(n_seg, dtype=bool)
+        is_split = np.zeros(n_seg, dtype=bool)
+        sv_arr = np.empty(n_seg, dtype=np.float64)
+        can_idx = np.flatnonzero(can)
+        if len(can_idx):
+            for i in can_idx:  # ≈ 2·(#leaves) tiny iterations total
+                s = int(seg_starts[i])
+                sv_arr[i] = split_value(
+                    vals[s:s + int(seg_lens[i])], strategy
+                )
+            c_starts = seg_starts[can]
+            c_lens = seg_lens[can]
+            tot = int(c_lens.sum())
+            off = np.zeros(len(c_starts), dtype=np.int64)
+            np.cumsum(c_lens[:-1], out=off[1:])
+            # global row positions of candidate rows, grouped by segment
+            pos = (
+                np.repeat(c_starts - off, c_lens)
+                + np.arange(tot, dtype=np.int64)
+            )
+            seg_of = np.repeat(
+                np.arange(len(c_starts), dtype=np.int64), c_lens
+            )
+            left = vals[pos] < np.repeat(sv_arr[can], c_lens)
+            li = left.astype(np.int64)
+            cl_excl = np.cumsum(li) - li
+            nl = np.add.reduceat(li, off)
             # degenerate = one side empty (reference nocuda.cpp:97-100)
-            if nl != 0 and nl != cnt:
-                leaf = False
-                splits[nid] = OracleSplit(
-                    node_id=nid, depth=d, axis=axis, value=sv,
-                    n_left=nl, n_right=cnt - nl,
-                )
-                right = ~left
+            ok = (nl > 0) & (nl < c_lens)
+            is_split[can_idx[ok]] = True
+            if ok.any():
+                # stable within-segment partition, all segments at once:
+                # a left row lands at (#lefts before it), a right row at
+                # n_left + (#rights before it) — both from one cumsum
+                rows_ok = ok[seg_of]
+                rank = np.arange(tot, dtype=np.int64) - off[seg_of]
+                lb = cl_excl - cl_excl[off][seg_of]
+                newrank = np.where(left, lb, nl[seg_of] + (rank - lb))
+                srcpos = pos[rows_ok]
+                dstpos = (c_starts[seg_of] + newrank)[rows_ok]
                 for arr in (xs, ys, orig):
-                    seg = arr[s:e]
-                    part = np.concatenate((seg[left], seg[right]))
-                    arr[s:e] = part  # stable: each side keeps input order
-                stack.append(
-                    (s + nl, e, d + 1, 2 * nid + 2, code_acc,
-                     (sk_acc << 1) | 1)
-                )
-                stack.append(
-                    (s, s + nl, d + 1, 2 * nid + 1, code_acc | (1 << d),
-                     sk_acc << 1)
-                )
-        if leaf:
-            node_p[s:e] = nid
+                    arr[dstpos] = arr[srcpos]  # RHS gathers before scatter
+                for i, nli in zip(can_idx[ok], nl[ok]):
+                    nid = int(seg_nids[i])
+                    splits[nid] = OracleSplit(
+                        node_id=nid, depth=d, axis=axis,
+                        value=float(sv_arr[i]),
+                        n_left=int(nli), n_right=int(seg_lens[i] - nli),
+                    )
+        # leaves at this depth: everything that did not split
+        for i in np.flatnonzero(~is_split):
+            s, e = int(seg_starts[i]), int(seg_starts[i] + seg_lens[i])
+            node_p[s:e] = seg_nids[i]
             plen_p[s:e] = d
-            code_p[s:e] = code_acc
-            sk_p[s:e] = sk_acc
+            code_p[s:e] = seg_codes[i]
+            sk_p[s:e] = seg_sks[i]
+        # children of splitting segments (left child first = kd order)
+        s_idx = np.flatnonzero(is_split)
+        if not len(s_idx):
+            break
+        nl_s = nl[ok]  # nl over candidates, filtered to splitters
+        k = len(s_idx)
+        new_starts = np.empty(2 * k, dtype=np.int64)
+        new_lens = np.empty(2 * k, dtype=np.int64)
+        new_nids = np.empty(2 * k, dtype=np.int64)
+        new_codes = np.empty(2 * k, dtype=np.int64)
+        new_sks = np.empty(2 * k, dtype=np.int64)
+        new_starts[0::2] = seg_starts[s_idx]
+        new_starts[1::2] = seg_starts[s_idx] + nl_s
+        new_lens[0::2] = nl_s
+        new_lens[1::2] = seg_lens[s_idx] - nl_s
+        new_nids[0::2] = 2 * seg_nids[s_idx] + 1
+        new_nids[1::2] = 2 * seg_nids[s_idx] + 2
+        new_codes[0::2] = seg_codes[s_idx] | (np.int64(1) << d)
+        new_codes[1::2] = seg_codes[s_idx]
+        new_sks[0::2] = seg_sks[s_idx] << 1
+        new_sks[1::2] = (seg_sks[s_idx] << 1) | 1
+        seg_starts, seg_lens = new_starts, new_lens
+        seg_nids, seg_codes, seg_sks = new_nids, new_codes, new_sks
+        d += 1
 
     for nid, sp in splits.items():
         if 2 * nid + 1 in splits:
