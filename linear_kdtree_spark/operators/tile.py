@@ -19,6 +19,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from linear_kdtree_spark.functions.morton import (
     WORLD,
@@ -263,3 +264,107 @@ def h3_cells_from_face_hex2d(
     return df.withColumn(
         out_col, cell(F.col(face_col), F.col(x_col), F.col(y_col))
     )
+
+
+def h3_disk_expand(
+    df: DataFrame,
+    cell_col: str = "h3_cell",
+    k: int = 1,
+    out_col: str = "disk_cell",
+    dist_col: str | None = "grid_distance",
+) -> DataFrame:
+    """Explode each row into its H3 k-ring: one output row per (row,
+    disk cell) pair with the grid distance — the expansion side of an
+    H3-NATIVE radius join (expand the query side to ``k`` rings, then
+    equi-join on the cell id; candidate count is bounded by
+    1 + 3k(k+1) per query, never a cross join).
+
+    Plan shape: one ``mapInPandas`` pass; per Arrow batch the k-ring BFS
+    (functions/h3_geom.grid_disk — exact adjacency, pentagon-safe) runs
+    once per DISTINCT cell in the batch and is broadcast back to rows,
+    so the per-row cost is a dict lookup. At 100 TB the distinct-cell
+    count per task is bounded by the tiling, not the row count."""
+    import numpy as np
+
+    from linear_kdtree_spark.functions.h3_geom import grid_disk, neighbors
+
+    schema = T.StructType(
+        df.schema.fields
+        + [T.StructField(out_col, T.LongType(), False)]
+        + (
+            [T.StructField(dist_col, T.IntegerType(), False)]
+            if dist_col
+            else []
+        )
+    )
+
+    def expand(batches):
+        memo: dict[int, list[tuple[int, int]]] = {}
+        for pdf in batches:
+            cells = pdf[cell_col].to_numpy(dtype=np.int64)
+            for c in np.unique(cells):
+                c = int(c)
+                if c in memo or c == 0:
+                    continue
+                seen = {c: 0}
+                frontier = np.array([c], dtype=np.int64)
+                for dist in range(1, k + 1):
+                    if not len(frontier):
+                        break
+                    nxt = {
+                        nb
+                        for lst in neighbors(frontier)
+                        for nb in lst
+                        if nb not in seen
+                    }
+                    for nb in nxt:
+                        seen[nb] = dist
+                    frontier = np.fromiter(
+                        nxt, dtype=np.int64, count=len(nxt)
+                    )
+                memo[c] = sorted(seen.items())
+            reps = np.array(
+                [len(memo.get(int(c), ())) for c in cells], dtype=np.int64
+            )
+            out = pdf.loc[pdf.index.repeat(reps)].reset_index(drop=True)
+            flat = [pair for c in cells for pair in memo.get(int(c), ())]
+            out[out_col] = np.array(
+                [p[0] for p in flat], dtype=np.int64
+            )
+            if dist_col:
+                out[dist_col] = np.array(
+                    [p[1] for p in flat], dtype=np.int32
+                )
+            yield out
+
+    return df.mapInPandas(expand, schema)
+
+
+def h3_boundary(
+    df: DataFrame,
+    cell_col: str = "h3_cell",
+    out_col: str = "boundary",
+) -> DataFrame:
+    """Cell boundary vertices as array<array<double>> [[lat, lng], ...]
+    (raster->vector on true H3 cells; functions/h3_geom.cell_to_boundary
+    — exact vertex positions, 6 per hexagon / 5 per pentagon, Class-III
+    fold-distortion points documented out of scope). Memoized per
+    distinct cell per Arrow batch like :func:`h3_disk_expand`."""
+    import numpy as np
+
+    from linear_kdtree_spark.functions.h3_geom import cell_to_boundary
+
+    @F.pandas_udf("array<array<double>>")
+    def bnd(cells: pd.Series) -> pd.Series:
+        memo: dict[int, list] = {}
+        out = []
+        for c in cells.to_numpy(dtype=np.int64):
+            c = int(c)
+            if c not in memo:
+                memo[c] = (
+                    cell_to_boundary(c).tolist() if c else []
+                )
+            out.append(memo[c])
+        return pd.Series(out)
+
+    return df.withColumn(out_col, bnd(F.col(cell_col)))
