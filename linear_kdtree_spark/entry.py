@@ -318,6 +318,63 @@ def pip_convex_oracle_sql(n_nations: int = 25) -> str:
     )
 
 
+def star_vertices(nationkey: int) -> list[tuple[float, float]]:
+    """CCW CONCAVE 4-pointed star with trig-free exact-double vertices
+    (ints and exact halves), alternating spike radius ``a`` and inner
+    half-width ``b/2 < a`` — mirrored verbatim in the oracle SQL."""
+    cx, cy, _, _ = rect_params(nationkey)
+    a = float(4 + nationkey % 5)
+    b = float(2 + nationkey % 3)
+    return [
+        (cx + a, cy), (cx + b / 2, cy + b / 2), (cx, cy + a),
+        (cx - b / 2, cy + b / 2), (cx - a, cy), (cx - b / 2, cy - b / 2),
+        (cx, cy - a), (cx + b / 2, cy - b / 2),
+    ]
+
+
+def q_pip_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-pruned point-in-polygon over CONCAVE star polygons — the
+    general simple-polygon path (Arrow-batched even-odd ray cast,
+    operators/pip.py exact='raycast'), which pip_rect/pip_convex do not
+    exercise. Hash-exact: the oracle recomputes the identical IEEE
+    crossing test (same literals, same divide) per edge →
+    (poly_id, key)."""
+    from linear_kdtree_spark.operators.pip import Polygon, point_in_polygons
+
+    idx = _gate_index(spark, sf_dir)
+    load_views(spark, sf_dir, ("nation",))
+    polys = [
+        Polygon(int(r[0]), star_vertices(int(r[0])))
+        for r in spark.sql("SELECT n_nationkey FROM nation").collect()
+    ]
+    return point_in_polygons(idx, polys, exact="raycast")
+
+
+def pip_concave_oracle_sql(n_nations: int = 25) -> str:
+    """Even-odd ray cast as SQL: per edge, the crossing predicate and the
+    x-intersection use the exact expressions of
+    functions/geometry.raycast_numpy; inside ⇔ odd crossing count."""
+    parts = []
+    for nk in range(n_nations):
+        verts = star_vertices(nk)
+        m = len(verts)
+        hits = []
+        for i in range(m):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % m]
+            hits.append(
+                "(CASE WHEN "
+                f"(({y1!r} > p.y) != ({y2!r} > p.y)) AND "
+                f"(p.x < {x1!r} + (p.y - {y1!r}) * ({x2 - x1!r}) / "
+                f"({y2 - y1!r})) THEN 1 ELSE 0 END)"
+            )
+        parts.append(
+            f"SELECT {nk} AS poly_id, p.key FROM pts p WHERE "
+            f"({' + '.join(hits)}) % 2 = 1"
+        )
+    return f"WITH {_points_cte()}\n" + "\nUNION ALL\n".join(parts)
+
+
 def q_tile_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-grid Z-order tile counts at depth 8 → (tile, n_points)."""
     from linear_kdtree_spark.operators.tile import assign_tiles_morton
@@ -1154,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_batch": q_knn_batch,
         "pip_rect": q_pip_rect,
         "pip_convex": q_pip_convex,
+        "pip_concave": q_pip_concave,
         "tile_morton": q_tile_morton,
         "raster_density": q_raster_density,
         "raster_pyramid": q_raster_pyramid,
@@ -1188,6 +1246,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_batch": knn_oracle_sql(queries_sql=KNN_BATCH_QUERIES_SQL),
         "pip_rect": pip_rect_oracle_sql(),
         "pip_convex": pip_convex_oracle_sql(),
+        "pip_concave": pip_concave_oracle_sql(),
         "tile_morton": tile_oracle_sql(),
         "raster_density": raster_oracle_sql(),
         "raster_pyramid": raster_pyramid_oracle_sql(),
