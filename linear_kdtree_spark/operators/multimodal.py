@@ -13,7 +13,12 @@ the deterministic stand-in for plumbing tests of those.
 Scale notes: binary payloads dominate row size — the operators project
 metadata-only where possible (column pruning keeps payload bytes out of
 shuffles), and mapInPandas streams batches without materializing a
-partition."""
+partition. Decode cost honesty (ADVICE r4): PNG rows filtered with
+Average/Paeth reverse an inherently SEQUENTIAL per-byte recurrence
+(left-neighbor dependency) — plain-int Python, ~0.6 ms per 512-px RGB
+row, orders slower than the numpy-vectorized PPM/BMP/WAV paths; at
+corpus scale, route mass PNG decode through a native codec and keep
+this from-scratch path for verification and air-gapped correctness."""
 
 from __future__ import annotations
 
