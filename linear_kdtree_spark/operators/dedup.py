@@ -222,7 +222,15 @@ def lsh_candidate_pairs(
     Catalyst's CollapseProject would otherwise re-inline the whole signature
     expression into every band branch (measured 8× blowup). Bands then
     explode from the cached 8-hex-string rows, and the self-equi-join on
-    (band, bucket) is an ordinary shuffle join AQE can skew-split."""
+    (band, bucket) is an ordinary shuffle join AQE can skew-split.
+
+    Cache lifecycle (ADVICE r4): the two persists cannot be unpersisted
+    here — the returned DataFrame is lazy and still reads them — so they
+    rely on executor-storage LRU eviction (MEMORY_AND_DISK deserialized,
+    the Spark default). Callers looping over many corpora should call
+    ``spark.catalog.clearCache()`` between iterations or materialize and
+    unpersist explicitly (as minhash_dedup's refine does implicitly by
+    consuming the pairs in the same job)."""
     rows = num_perm // bands
     sh_df = docs.select(
         F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh")
