@@ -857,6 +857,74 @@ WHERE q.key <> p.key
 """.strip()
 
 
+def h3_star_vertices(nationkey: int) -> tuple[int, list[tuple[float, float]]]:
+    """(face, hex2d ring) for the pip_h3fill gate: a CCW concave
+    4-pointed star per nation in res-5 hex2d coordinates, centers and
+    radii exact halves/integers in double, extent <= 105.5 units —
+    well inside both the H3_XY_SQL point box (+-125.5) and the face
+    coverage region, so no overage folding is in play."""
+    cx = float((nationkey * 97) % 180) - 89.5
+    cy = float((nationkey * 53) % 160) - 79.5
+    a = float(10 + nationkey % 7)
+    b = float(4 + nationkey % 5)
+    return nationkey % 20, [
+        (cx + a, cy), (cx + b / 2, cy + b / 2), (cx, cy + a),
+        (cx - b / 2, cy + b / 2), (cx - a, cy), (cx - b / 2, cy - b / 2),
+        (cx, cy - a), (cx + b / 2, cy - b / 2),
+    ]
+
+
+def q_pip_h3fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-native point-in-polygon via polyfill covers (operators/tile.
+    pip_h3_cover): each star polygon's cover cells (from-scratch polyfill,
+    functions/h3_geom.hex2d_polyfill) broadcast-equi-join the points' res-5
+    cell ids; FULL cells accept outright, band cells refine with the exact
+    even-odd ray cast. Equals a plain per-point ray cast (the cover is a
+    decomposition, not a semantics change — tests/test_h3_cover.py), which
+    IS the DuckDB oracle, so the gate pins polyfill completeness +
+    full-cell soundness + the id packing end-to-end: one wrongly-FULL cell
+    admits an outside point, one missing cover cell drops an inside one,
+    and the row sets diverge. -> (poly_id, key)."""
+    from linear_kdtree_spark.operators.tile import (
+        h3_cells_from_face_hex2d,
+        pip_h3_cover,
+    )
+
+    load_views(spark, sf_dir, ("lineitem", "nation"))
+    pts = h3_cells_from_face_hex2d(spark.sql(H3_XY_SQL), H3_RES)
+    polys = {
+        int(r[0]): h3_star_vertices(int(r[0]))
+        for r in spark.sql("SELECT n_nationkey FROM nation").collect()
+    }
+    return pip_h3_cover(pts, polys, H3_RES).select("poly_id", "key")
+
+
+def pip_h3fill_oracle_sql(n_nations: int = 25) -> str:
+    """Per-point even-odd ray cast in hex2d coordinates (identical IEEE
+    expressions to functions/geometry.raycast_numpy), face-filtered."""
+    parts = []
+    for nk in range(n_nations):
+        face, verts = h3_star_vertices(nk)
+        m = len(verts)
+        hits = []
+        for i in range(m):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % m]
+            hits.append(
+                "(CASE WHEN "
+                f"(({y1!r} > p.hy) != ({y2!r} > p.hy)) AND "
+                f"(p.hx < {x1!r} + (p.hy - {y1!r}) * ({x2 - x1!r}) / "
+                f"({y2 - y1!r})) THEN 1 ELSE 0 END)"
+            )
+        parts.append(
+            f"SELECT {nk} AS poly_id, p.key FROM base p "
+            f"WHERE p.face = {face} AND ({' + '.join(hits)}) % 2 = 1"
+        )
+    return (
+        f"WITH base AS ({H3_XY_SQL})\n" + "\nUNION ALL\n".join(parts)
+    )
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs via banded sign-LSH + exact cosine
     refine (threshold 0.95). Gated hash-exact against a brute-force
@@ -1294,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_hex_rollup": q_tile_hex_rollup,
         "tile_h3": q_tile_h3,
         "h3_disk_join": q_h3_disk_join,
+        "pip_h3fill": q_pip_h3fill,
         "embed_neardup": q_embed_neardup,
     }
     out.update(pipeline_queries())
@@ -1330,6 +1399,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_hex_rollup": tile_hex_rollup_oracle_sql(),
         "tile_h3": tile_h3_oracle_sql(),
         "h3_disk_join": h3_disk_join_oracle_sql(),
+        "pip_h3fill": pip_h3fill_oracle_sql(),
         "embed_neardup": embed_neardup_oracle_sql(),
     }
     out.update(pipeline_oracles())

@@ -615,3 +615,161 @@ def cell_to_boundary(h: int):
         vf, x, y, np.full(6, adj_res), substrate=True
     )
     return np.column_stack([np.rad2deg(lat), np.rad2deg(lng)])
+
+
+# --- polygon covers (polyfill) ------------------------------------------
+
+# circumradius of a unit-lattice hexagon cell in its res-scaled hex2d
+# plane (centers form the unit triangular lattice: neighbor spacing 1,
+# Voronoi hexagon inradius 1/2, circumradius 1/sqrt(3))
+HEX_CIRCUMRADIUS = 1.0 / math.sqrt(3.0)
+# strictly larger than any double rounding error at O(1) coordinates and
+# strictly smaller than any geometric feature the tests use: FULL cells
+# keep this much clearance from the ring, so the exact per-point ray
+# cast provably agrees with the cover's full-cell accept
+_POLYFILL_MARGIN = 1e-6
+# the 6 axial neighbor steps of the unit lattice (center diffs of
+# length exactly 1 under x = a - b/2, y = b*sin60)
+_AX_NB = np.array(
+    [[1, 0], [-1, 0], [0, 1], [0, -1], [1, 1], [-1, -1]], dtype=np.int64
+)
+
+
+def hex2d_to_axial(x, y):
+    """Axial lattice coords (a = i - k, b = j - k) of the cell containing
+    each res-scaled hex2d point — the same hex-grid rounding the gated
+    forward path uses (functions/h3._hex2d_to_coord_ij), so polyfill
+    covers and per-point cell assignment can never disagree about which
+    cell a point is in."""
+    i, j, k = _hex2d_to_coord_ij(
+        np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+    )
+    return i - k, j - k
+
+
+def _ring_min_dist(px, py, ring):
+    """Min distance from each point to any segment of the closed ring —
+    vectorized (n_points, n_edges) without a Python loop over points."""
+    v0 = ring
+    v1 = np.roll(ring, -1, axis=0)
+    ex = (v1[:, 0] - v0[:, 0])[None, :]
+    ey = (v1[:, 1] - v0[:, 1])[None, :]
+    wx = px[:, None] - v0[None, :, 0]
+    wy = py[:, None] - v0[None, :, 1]
+    ee = ex * ex + ey * ey
+    t = np.clip((wx * ex + wy * ey) / np.where(ee > 0.0, ee, 1.0), 0.0, 1.0)
+    dx = wx - t * ex
+    dy = wy - t * ey
+    return np.sqrt((dx * dx + dy * dy).min(axis=1))
+
+
+def hex2d_polyfill(ring, max_cells: int = 1_000_000):
+    """Cover of a simple closed ring (hex2d plane, res scaling) by unit-
+    lattice cells: axial coords + flags, BFS over the exact adjacency.
+
+    Returns ``(a, b, center_in, is_full)`` int64/bool arrays over the
+    COVER = every cell intersecting the ring's closed region (plus a
+    conservative ≤1-cell band around the boundary):
+
+    - ``is_full``  — the cell lies ENTIRELY inside the ring (center
+      inside and every ring edge farther than circumradius + margin):
+      points in it need no exact test;
+    - ``center_in`` — H3 polygonToCells center-containment semantics;
+    - cells in the cover with ``is_full`` False are the boundary band:
+      membership of their points needs the exact per-point ray cast.
+
+    Completeness (why a point inside the ring can never land outside the
+    cover): its cell either has its center inside (→ cover) or the
+    segment center→point crosses the ring, putting a ring edge within
+    circumradius of the center (→ band). Connectivity (why BFS finds the
+    whole cover): cells intersecting a connected region are vertex-
+    connected, and on a hex tiling vertex-connected ⇒ edge-connected
+    (any two of the three cells at a vertex share an edge); band extras
+    sit within 2·circumradius + margin < √3 (the next-nearest-center
+    distance) of a ring-intersecting cell, i.e. adjacent to the BFS set.
+    ``max_cells`` is the runaway guard for degenerate rings (same spirit
+    as the LSH oversized-bucket guard): raises rather than flooding.
+    """
+    from linear_kdtree_spark.functions.geometry import raycast_numpy
+
+    ring = np.asarray(ring, dtype=np.float64)
+    if ring.ndim != 2 or len(ring) < 3:
+        raise ValueError("ring must be (m >= 3, 2) vertices")
+    r_band = HEX_CIRCUMRADIUS + _POLYFILL_MARGIN
+    seeds_x = np.concatenate([ring[:, 0], ring[:, 0:1].mean(axis=0)])
+    seeds_y = np.concatenate([ring[:, 1], ring[:, 1:2].mean(axis=0)])
+    sa, sb = hex2d_to_axial(seeds_x, seeds_y)
+    frontier = {(int(a), int(b)) for a, b in zip(sa, sb)}
+    visited: set[tuple[int, int]] = set()
+    out_a, out_b, out_cin, out_full = [], [], [], []
+    while frontier:
+        batch = np.array(sorted(frontier), dtype=np.int64)
+        visited |= frontier
+        if len(visited) > max_cells:
+            raise ValueError(
+                f"polyfill cover exceeds max_cells={max_cells} "
+                "(degenerate ring?)"
+            )
+        cx, cy = _ax_to_hex2d(batch[:, 0], batch[:, 1])
+        inside = raycast_numpy(cx, cy, ring)
+        mind = _ring_min_dist(cx, cy, ring)
+        near = mind <= r_band
+        cover = inside | near
+        out_a.append(batch[cover, 0])
+        out_b.append(batch[cover, 1])
+        out_cin.append(inside[cover])
+        out_full.append(inside[cover] & ~near[cover])
+        grow = batch[cover]
+        nxt = (grow[:, None, :] + _AX_NB[None, :, :]).reshape(-1, 2)
+        frontier = {
+            (int(a), int(b)) for a, b in nxt
+        } - visited
+    return (
+        np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64),
+        np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64),
+        np.concatenate(out_cin) if out_cin else np.empty(0, dtype=bool),
+        np.concatenate(out_full) if out_full else np.empty(0, dtype=bool),
+    )
+
+
+def polygon_to_cells(ring_latlng, res: int, cover: bool = False):
+    """H3 polyfill (polygonToCells shape) from scratch: the cells at
+    ``res`` whose center lies inside the lat/lng ring.
+
+    Edge semantics, documented divergence from reference H3: ring edges
+    are straight lines in the face's GNOMONIC hex2d plane — i.e. exact
+    GEODESICS on the sphere (the gnomonic projection maps great circles
+    to straight lines) — where reference H3's polygonToCells treats
+    edges as straight in lat/lng coordinates (polygon.c ray cast).
+    Results differ only for cell centers within the tiny edge-bulge
+    distance between a geodesic and its lat/lng chord.
+
+    Single-face rings only (all vertices must project to one icosahedron
+    face): multi-face rings raise NotImplementedError — the documented
+    boundary, same style as the JPEG/MP3 codec boundaries; callers can
+    split large polygons along face edges.
+
+    ``cover=True`` returns ``(cells, is_full)`` over the full cover
+    (boundary band included) for exact point-in-polygon composition;
+    default returns only the center-inside cells (H3 parity).
+    """
+    from linear_kdtree_spark.functions.h3 import face_hex2d_to_cell
+
+    ring = np.asarray(ring_latlng, dtype=np.float64)
+    face, x, y = latlng_to_face_hex2d(ring[:, 0], ring[:, 1], res)
+    if len(np.unique(face)) != 1:
+        raise NotImplementedError(
+            "polygon_to_cells: ring spans multiple icosahedron faces; "
+            "split the ring along face edges"
+        )
+    a, b, cin, full = hex2d_polyfill(np.column_stack([x, y]))
+    cx, cy = _ax_to_hex2d(a, b)
+    cells = face_hex2d_to_cell(
+        np.full(len(cx), face[0], dtype=np.int64), cx, cy, res,
+        on_invalid="null",
+    )
+    ok = cells != 0  # beyond-coverage sentinel (overage past the face)
+    if cover:
+        return cells[ok], full[ok]
+    keep = cin & ok
+    return cells[keep]

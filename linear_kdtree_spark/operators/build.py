@@ -579,10 +579,16 @@ def _local_finish_fused(
     local_strategy = "median" if strategy == "median_approx" else strategy
     dtype = np.float32 if coord_type == "float" else np.float64
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
-    out_schema = (
-        f"key long, x {coord_type}, y {coord_type}, node long, "
-        "path_len int, code long, sort_key long"
-    )
+    # the python kernel ships ONLY (key, x, y, node): path_len / code /
+    # sort_key are pure integer bit transforms of the heap node id, so
+    # they are derived JVM-side right after the mapInPandas (
+    # functions/morton.fast_derived_cols — equality vs the per-bit
+    # definition is unit-tested, and every lkt_build_nodes* gate pins the
+    # values cross-engine). This cuts the python->JVM Arrow traffic from
+    # 7 to 4 columns (56 -> 32 bytes/row) and drops three O(n) numpy
+    # compositions from the task hot path — measured at 38.4 M/local[8]:
+    # fused phase 24.6 -> 20.5 s (with 500k-row Arrow batches; r5).
+    out_schema = f"key long, x {coord_type}, y {coord_type}, node long"
 
     # live subtrees = counted nodes that never split; pack by exact size
     live = {
@@ -699,12 +705,6 @@ def _local_finish_fused(
                         "x": xs[s:e],
                         "y": ys[s:e],
                         "node": np.full(nrows, g, dtype=np.int64),
-                        "path_len": np.full(nrows, plen_g, dtype=np.int32),
-                        "code": np.full(nrows, code_g, dtype=np.int64),
-                        "sort_key": np.full(
-                            nrows, sk_g << (max_depth - plen_g),
-                            dtype=np.int64,
-                        ),
                     },
                     copy=False,
                 )
@@ -721,19 +721,13 @@ def _local_finish_fused(
                 coord_dtype=dtype,
             )
             kd = res.kd_perm
-            lp = res.path_len[kd]
-            plen = plen_g + lp
-            sk_glob = (np.int64(sk_g) << lp) | res.sk[kd]
-            two_p = np.int64(1) << lp
+            two_p = np.int64(1) << res.path_len[kd]
             yield pd.DataFrame(
                 {
                     "key": keys[s:e][kd],
                     "x": xs[s:e][kd],
                     "y": ys[s:e][kd],
                     "node": (g + 1) * two_p + (res.node[kd] + 1 - two_p) - 1,
-                    "path_len": plen.astype(np.int32),
-                    "code": np.int64(code_g) | (res.code[kd] << plen_g),
-                    "sort_key": sk_glob << (max_depth - plen),
                 },
                 copy=False,
             )
@@ -764,8 +758,33 @@ def _local_finish_fused(
 
     debug = os.environ.get("SPARK_GRAFT_BUILD_DEBUG")
     t0 = time.time()
-    out = src.mapInPandas(finish, out_schema).persist()
-    n_out = out.count()
+    plen_c, code_c, sk_c = fast_derived_cols(F.col("node"), max_depth)
+    out = (
+        src.mapInPandas(finish, out_schema)
+        .select(
+            "key", "x", "y", "node",
+            plen_c.alias("path_len"), code_c.alias("code"),
+            sk_c.alias("sort_key"),
+        )
+        .persist()
+    )
+    # 500k-row Arrow batches for THIS job only (session default 65k is
+    # sized for wide/binary rows; these are 4 fixed-width columns =
+    # 16 MB/batch): fewer per-batch JVM->python round-trips cut the
+    # per-task drain 12 -> 7.5 s at 38.4 M/local[8] (measured r5).
+    # Session conf, so set/restore around the one materializing action;
+    # a later cache-eviction recompute under the session default is only
+    # a perf difference, never a semantic one.
+    arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev_batch = spark.conf.get(arrow_key, None)
+    spark.conf.set(arrow_key, "500000")
+    try:
+        n_out = out.count()
+    finally:
+        if prev_batch is None:
+            spark.conf.unset(arrow_key)
+        else:
+            spark.conf.set(arrow_key, prev_batch)
     if debug:
         print(f"[fused] shuffle+finish+materialize: {time.time() - t0:.1f}s")
     if total and n_out != total:  # pragma: no cover - invariant guard

@@ -368,3 +368,95 @@ def h3_boundary(
         return pd.Series(out)
 
     return df.withColumn(out_col, bnd(F.col(cell_col)))
+
+
+def pip_h3_cover(
+    pts: DataFrame,
+    polygons: dict[int, tuple[int, list[tuple[float, float]]]],
+    res: int,
+    x_col: str = "hx",
+    y_col: str = "hy",
+    cell_col: str = "h3_cell",
+    face_col: str = "face",
+) -> DataFrame:
+    """EXACT point-in-polygon, H3-native: a driver-computed polyfill
+    cover (functions/h3_geom.hex2d_polyfill) classifies every cover cell
+    FULL (entirely inside — its points are accepted outright, no
+    per-point maths) or BAND (boundary — its points get the exact
+    Arrow-batched even-odd ray cast). Points outside the cover never
+    join at all.
+
+    ``polygons``: poly_id → (face, hex2d ring at ``res`` scaling). The
+    result is exactly the brute ray cast of every point against its
+    polygons (tests/test_h3_cover.py proves the decomposition; the
+    ``pip_h3fill`` driver gate pins it cross-engine), but the plan is a
+    BROADCAST equi-join on the cell id: per point, candidate work is
+    O(polygons whose cover contains its cell), not O(|polygons|), and
+    the full/band split removes the refine from every interior point —
+    at 100 TB the refine touches only an O(perimeter/area) fraction.
+
+    The join requires FACE equality as well as cell equality: H3 ids are
+    canonical across projection frames, so near the icosahedron edges a
+    point in ANOTHER face's frame can fold (overage) onto the same cell
+    id as an in-plane cover cell — same id, different in-plane location
+    (measured: sf0.01 key 101054, face 14, folded onto a face-9 cover
+    cell). Within ONE face frame the id ↔ lattice-position map is
+    injective (the gnomonic projection is injective per hemisphere), so
+    cell id + face identifies the in-plane cell exactly.
+
+    The cover is tiny (≤ cells-per-polygon × |polygons|) and computed
+    once on the driver with the SAME hex-grid rounding and id packing
+    the per-point path uses (functions/h3.face_hex2d_to_cell), so cover
+    and point cell assignment cannot disagree."""
+    import numpy as np
+
+    from linear_kdtree_spark.functions.geometry import make_raycast_udf
+    from linear_kdtree_spark.functions.h3 import face_hex2d_to_cell
+    from linear_kdtree_spark.functions.h3_geom import (
+        _ax_to_hex2d,
+        hex2d_polyfill,
+    )
+
+    spark = pts.sparkSession
+    rows = []
+    for pid, (face, ring) in polygons.items():
+        a, b, _cin, full = hex2d_polyfill(ring)
+        cx, cy = _ax_to_hex2d(a, b)
+        cells = face_hex2d_to_cell(
+            np.full(len(cx), face, dtype=np.int64), cx, cy, res,
+            on_invalid="null",
+        )
+        ok = cells != 0
+        # overage near a face edge can fold two lattice positions onto
+        # one id: dedupe per (poly, cell), AND-ing the full flags — a
+        # fold can only demote FULL to BAND (extra refine, never a wrong
+        # accept)
+        merged: dict[int, bool] = {}
+        for c, f in zip(cells[ok], full[ok]):
+            c = int(c)
+            merged[c] = bool(f) and merged.get(c, True)
+        rows.extend(
+            (int(pid), int(face), c, f) for c, f in merged.items()
+        )
+    cover = spark.createDataFrame(
+        rows, "poly_id int, _poly_face long, _cover_cell long, _full boolean"
+    )
+    joined = pts.join(
+        F.broadcast(cover),
+        (pts[cell_col] == F.col("_cover_cell"))
+        & (pts[face_col] == F.col("_poly_face")),
+    )
+    refine = make_raycast_udf(
+        spark, {pid: ring for pid, (_f, ring) in polygons.items()}
+    )
+    # union instead of a single OR filter: a pandas UDF in a disjunction
+    # is evaluated as its own projection over EVERY joined row, which
+    # would hand the interior points right back to the refine the full
+    # cells exist to skip
+    full_part = joined.filter(F.col("_full"))
+    band_part = joined.filter(~F.col("_full")).filter(
+        refine(F.col("poly_id"), F.col(x_col), F.col(y_col))
+    )
+    return full_part.unionByName(band_part).drop(
+        "_poly_face", "_cover_cell", "_full"
+    )
