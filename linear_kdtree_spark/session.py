@@ -20,11 +20,11 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    master = master or f"local[{cpus}]"
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
     if shuffle_partitions is None:
-        # local[N] → N; local[*]/cluster → cpu count
+        # local[N] → N; local[*]/local-cluster[n,c,m]/cluster → cpu count
         inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
-        shuffle_partitions = cpus if inner in ("", "*") else int(inner)
+        shuffle_partitions = cpus if (not inner.isdigit()) else int(inner)
 
     builder = (
         SparkSession.builder.master(master)
@@ -44,4 +44,33 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if master.startswith("local-cluster"):
+        _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship the engine zip to executors (the spark-submit --py-files path).
+
+    ``local-cluster[n,c,m]`` runs REAL separate executor JVMs whose Python
+    workers do not share the driver's sys.path, exactly like a production
+    cluster — so the package must travel as an archive. Idempotent per
+    SparkContext (addPyFile raises on re-add of the same name in some
+    versions; a context-keyed marker skips it)."""
+    import tempfile
+    import zipfile
+
+    sc = spark.sparkContext
+    if getattr(sc, "_lkt_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(tempfile.gettempdir(), f"lkt_engine_{os.getpid()}.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zpath)
+    sc._lkt_pkg_shipped = True
