@@ -22,9 +22,7 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
     if shuffle_partitions is None:
-        # local[N] → N; local[*]/local-cluster[n,c,m]/cluster → cpu count
-        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
-        shuffle_partitions = cpus if (not inner.isdigit()) else int(inner)
+        shuffle_partitions = _default_shuffle_partitions(master, cpus)
 
     builder = (
         SparkSession.builder.master(master)
@@ -47,6 +45,13 @@ def get_spark(
     if master.startswith("local-cluster"):
         _ship_package(spark)
     return spark
+
+
+def _default_shuffle_partitions(master: str, cpus: int) -> int:
+    """local[N] → N; local[*] / local-cluster[n,c,m] / cluster URLs → cpus
+    (the local-cluster inner is three comma-separated numbers, not an int)."""
+    inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+    return int(inner) if inner.isdigit() else cpus
 
 
 def _ship_package(spark: SparkSession) -> None:

@@ -123,3 +123,45 @@ def test_spark_submit_py_files_build(spark, tmp_path):
     # index dir carries the full deployable surface: splits + lineage
     assert os.path.exists(os.path.join(idx_path, "lineage.json"))
     assert spark.read.parquet(os.path.join(idx_path, "splits")).count() > 0
+
+
+def test_ship_package_zip_contents_and_master_parse(tmp_path):
+    """session.py plumbing for cluster masters, no JVM needed: the
+    shipped zip holds the whole package rooted at linear_kdtree_spark/,
+    and the shuffle-partition parse survives local-cluster[n,c,m]
+    masters (three comma-separated numbers, not an int)."""
+    import zipfile
+
+    from linear_kdtree_spark import session as S
+
+    class FakeSC:
+        def __init__(self):
+            self.added = []
+
+        def addPyFile(self, p):
+            self.added.append(p)
+
+    class FakeSpark:
+        def __init__(self):
+            self.sparkContext = FakeSC()
+
+    fake = FakeSpark()
+    S._ship_package(fake)
+    assert len(fake.sparkContext.added) == 1
+    with zipfile.ZipFile(fake.sparkContext.added[0]) as z:
+        names = z.namelist()
+    assert "linear_kdtree_spark/session.py" in names
+    assert "linear_kdtree_spark/operators/build.py" in names
+    assert all(n.startswith("linear_kdtree_spark/") for n in names)
+    # idempotent per context
+    S._ship_package(fake)
+    assert len(fake.sparkContext.added) == 1
+
+    # master-string shuffle parse: local[4] -> 4; local-cluster -> cpus
+    for master, want in [
+        ("local[4]", 4),
+        ("local[*]", 6),
+        ("local-cluster[2,1,1024]", 6),
+        ("spark://host:7077", 6),
+    ]:
+        assert S._default_shuffle_partitions(master, 6) == want
