@@ -23,6 +23,7 @@ def get_spark(
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = _default_shuffle_partitions(master, cpus)
+    local_dir = _default_local_dir(extra_conf)
 
     builder = (
         SparkSession.builder.master(master)
@@ -38,6 +39,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
@@ -45,6 +48,34 @@ def get_spark(
     if master.startswith("local-cluster"):
         _ship_package(spark)
     return spark
+
+
+def _default_local_dir(extra_conf: dict[str, str] | None) -> str | None:
+    """Shuffle/broadcast scratch on a RAM disk when one is available.
+
+    Local-mode shuffle files default to /tmp, i.e. the container's overlay
+    disk — on this shared host its write stalls are the single largest
+    source of bench variance (A/B fresh-JVM first builds at 4.8 M points:
+    57-71 s on /tmp vs 20-47 s on /dev/shm, same minutes). The shuffle
+    volumes this engine produces locally (≤ a few GB) fit tmpfs easily.
+    Deliberately NOT applied when the deployment already chose a location:
+    ``SPARK_LOCAL_DIRS`` env (Spark's own override, which outranks the
+    conf anyway) or an explicit ``spark.local.dir`` in ``extra_conf``.
+    On a real cluster the admin's conf wins by the same rule."""
+    if os.environ.get("SPARK_LOCAL_DIRS") or (
+        extra_conf and "spark.local.dir" in extra_conf
+    ):
+        return None
+    shm = "/dev/shm"
+    try:
+        st = os.statvfs(shm)
+        if st.f_bavail * st.f_frsize < 8 << 30 or not os.access(shm, os.W_OK):
+            return None
+    except OSError:
+        return None
+    path = os.path.join(shm, f"lkt-spark-local-{os.getuid()}")
+    os.makedirs(path, exist_ok=True)
+    return path
 
 
 def _default_shuffle_partitions(master: str, cpus: int) -> int:

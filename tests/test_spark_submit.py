@@ -165,3 +165,24 @@ def test_ship_package_zip_contents_and_master_parse(tmp_path):
         ("spark://host:7077", 6),
     ]:
         assert S._default_shuffle_partitions(master, 6) == want
+
+
+def test_default_local_dir_rules(monkeypatch):
+    """RAM-disk scratch only when the deployment hasn't chosen one."""
+    import linear_kdtree_spark.session as S
+
+    have_shm = os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+
+    monkeypatch.delenv("SPARK_LOCAL_DIRS", raising=False)
+    got = S._default_local_dir(None)
+    if have_shm:
+        assert got is not None and got.startswith("/dev/shm/")
+        assert os.path.isdir(got)
+    else:
+        assert got is None
+
+    # explicit conf wins
+    assert S._default_local_dir({"spark.local.dir": "/tmp/x"}) is None
+    # Spark's own env override wins
+    monkeypatch.setenv("SPARK_LOCAL_DIRS", "/tmp/y")
+    assert S._default_local_dir(None) is None
