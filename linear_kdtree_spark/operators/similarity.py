@@ -311,9 +311,10 @@ def cosine_near_dup_pairs(
             vec_id, vec_col, F.posexplode("sigs").alias("band", "bucket")
         )
     )
-    # no persist needed: the single-pass guard's window exchange on
-    # (band, bucket) materializes the signature rows once, and both join
-    # sides below read it back as a ReusedExchange
+    # persisted: the guard's sizing job and both join sides below read the
+    # signature rows from cache instead of running the matmul UDF three
+    # times (lifecycle: LRU-evicted, see dedup.lsh_candidate_pairs)
+    bucketed = bucketed.persist()
     bucketed = drop_oversized_buckets(
         bucketed, ["band", "bucket"], max_bucket_size, "embed_neardup"
     )
