@@ -302,9 +302,25 @@ class _Component:
 def decode_jpeg(buf: bytes) -> np.ndarray:
     """Decode a baseline (SOF0) JPEG to uint8 (H, W) or (H, W, 3) RGB.
 
-    Raises NotImplementedError for progressive (SOF2) / extended /
-    lossless / arithmetic-coded frames, ValueError for malformed data.
-    """
+    Raises NotImplementedError for layouts outside the supported boundary
+    (progressive / extended / lossless / arithmetic-coded frames,
+    multi-scan or non-interleaved baseline), ValueError for malformed
+    data. Any low-level parse failure on a corrupt stream (truncated
+    segment, bad table index, zero sampling factor) is normalized to
+    ValueError so callers — decode_image's ``fake=True`` stand-in path in
+    particular — need exactly the two documented exception types and one
+    bad row can never fail a whole Spark job with an undocumented error
+    (review r5)."""
+    try:
+        return _decode_jpeg(buf)
+    except (ValueError, NotImplementedError):
+        raise
+    except (struct.error, IndexError, KeyError, StopIteration,
+            ZeroDivisionError, OverflowError) as e:
+        raise ValueError(f"malformed JPEG: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg(buf: bytes) -> np.ndarray:
     d = bytes(buf)
     if d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -361,7 +377,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
-                comps.append(_Component(cid, hv >> 4, hv & 15, tq))
+                h, v = hv >> 4, hv & 15
+                if not (1 <= h <= 4 and 1 <= v <= 4):  # spec Table B.2
+                    raise ValueError(f"bad sampling factors {h}x{v}")
+                comps.append(_Component(cid, h, v, tq))
         elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"non-baseline frame marker 0xFF{m:02X}")
         elif m == 0xDD:  # DRI
@@ -370,6 +389,22 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             adobe_transform = seg[11] if len(seg) > 11 else None
         elif m == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
+            # _decode_scan assumes ONE scan carrying every frame component
+            # in interleaved-MCU order; a per-component (non-interleaved)
+            # scan sequence is legal baseline but would silently wipe the
+            # previously decoded planes and mis-order >1x1-sampled blocks
+            # (review r5) — refuse it loudly like the progressive path.
+            if any(c.blocks is not None for c in comps):
+                raise NotImplementedError("multi-scan baseline JPEG")
+            if not comps or ns != len(comps):
+                raise NotImplementedError(
+                    f"non-interleaved scan ({ns} of {len(comps)} components)"
+                )
+            if ns == 1 and (comps[0].h, comps[0].v) != (1, 1):
+                # a single-component scan is non-interleaved by spec (MCU =
+                # one block, sampling ignored); our interleaved geometry
+                # only coincides with that at 1x1
+                raise NotImplementedError("1-component scan with >1x1 sampling")
             order = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]

@@ -172,3 +172,40 @@ class TestRejections:
     def test_bad_dimensions(self):
         with pytest.raises(ValueError):
             encode_jpeg(np.zeros((0, 4, 3), np.uint8))
+
+    def test_zero_sampling_factor_is_valueerror(self):
+        # corrupt Hi/Vi = 0 must surface as the documented ValueError, not
+        # ZeroDivisionError escaping into (and killing) a Spark task
+        data = bytearray(encode_jpeg(_test_image(16, 16)))
+        i = data.index(b"\xff\xc0")
+        data[i + 11] = 0x00  # first component's sampling byte
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(data))
+
+    def test_noninterleaved_scan_rejected_not_garbage(self):
+        # SOS declaring fewer components than the frame is legal baseline
+        # we do not support — must refuse, never silently mis-decode
+        data = bytearray(encode_jpeg(_test_image(16, 16), subsample="444"))
+        i = data.index(b"\xff\xda")
+        data[i + 4] = 1  # Ns: 3 -> 1
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(data))
+
+    def test_second_scan_rejected(self):
+        # a second full scan would wipe the first scan's planes
+        data = bytearray(encode_jpeg(_test_image(16, 16)))
+        i = data.index(b"\xff\xda")
+        sos_len = 2 + int.from_bytes(data[i + 2:i + 4], "big")
+        dup = bytes(data[i:]).rstrip(b"\xd9").rstrip(b"\xff")
+        patched = bytes(data[:-2]) + dup[:sos_len] + dup[sos_len:] + b"\xff\xd9"
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(patched)
+
+    def test_fake_mode_survives_corrupt_sampling(self):
+        from linear_kdtree_spark.operators.multimodal import decode_image
+
+        data = bytearray(encode_jpeg(_test_image(16, 16)))
+        i = data.index(b"\xff\xc0")
+        data[i + 11] = 0x00
+        img = decode_image(bytes(data), fake=True)  # stand-in, not a raise
+        assert img.ndim == 3
