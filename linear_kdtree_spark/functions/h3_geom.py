@@ -497,22 +497,30 @@ def neighbors(h):
     return out
 
 
-def grid_disk(h, k: int):
-    """H3 gridDisk(h, k): all cells within GRID distance k (BFS on the
-    exact adjacency graph — matches gridDiskDistancesSafe semantics,
-    including around pentagons). ``h`` is a scalar id; returns a sorted
-    int64 array (1 + 3k(k+1) cells away from pentagon distortion)."""
+def grid_disk_distances(h, k: int) -> list[tuple[int, int]]:
+    """H3 gridDiskDistances(h, k): (cell, grid_distance) pairs for all
+    cells within GRID distance k, sorted by cell id (BFS on the exact
+    adjacency graph — matches gridDiskDistancesSafe semantics, including
+    around pentagons). The single ring-BFS implementation — ``grid_disk``
+    and operators/tile.h3_disk_expand both derive from it."""
     h = int(h)
-    seen = {h}
+    seen = {h: 0}
     frontier = np.array([h], dtype=np.int64)
-    for _ in range(k):
+    for dist in range(1, k + 1):
         if not len(frontier):
             break
-        neigh = neighbors(frontier)
-        nxt = {c for lst in neigh for c in lst if c not in seen}
-        seen.update(nxt)
+        nxt = {c for lst in neighbors(frontier) for c in lst if c not in seen}
+        for c in nxt:
+            seen[c] = dist
         frontier = np.fromiter(nxt, dtype=np.int64, count=len(nxt))
-    return np.sort(np.fromiter(seen, dtype=np.int64, count=len(seen)))
+    return sorted(seen.items())
+
+
+def grid_disk(h, k: int):
+    """H3 gridDisk(h, k): all cells within GRID distance k; sorted int64
+    array (1 + 3k(k+1) cells away from pentagon distortion)."""
+    pairs = grid_disk_distances(h, k)
+    return np.fromiter((c for c, _ in pairs), dtype=np.int64, count=len(pairs))
 
 
 # --- boundaries ---------------------------------------------------------

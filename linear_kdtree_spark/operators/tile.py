@@ -280,13 +280,14 @@ def h3_disk_expand(
     1 + 3k(k+1) per query, never a cross join).
 
     Plan shape: one ``mapInPandas`` pass; per Arrow batch the k-ring BFS
-    (functions/h3_geom.grid_disk — exact adjacency, pentagon-safe) runs
+    (functions/h3_geom.grid_disk_distances — exact adjacency,
+    pentagon-safe) runs
     once per DISTINCT cell in the batch and is broadcast back to rows,
     so the per-row cost is a dict lookup. At 100 TB the distinct-cell
     count per task is bounded by the tiling, not the row count."""
     import numpy as np
 
-    from linear_kdtree_spark.functions.h3_geom import grid_disk, neighbors
+    from linear_kdtree_spark.functions.h3_geom import grid_disk_distances
 
     schema = T.StructType(
         df.schema.fields
@@ -306,23 +307,7 @@ def h3_disk_expand(
                 c = int(c)
                 if c in memo or c == 0:
                     continue
-                seen = {c: 0}
-                frontier = np.array([c], dtype=np.int64)
-                for dist in range(1, k + 1):
-                    if not len(frontier):
-                        break
-                    nxt = {
-                        nb
-                        for lst in neighbors(frontier)
-                        for nb in lst
-                        if nb not in seen
-                    }
-                    for nb in nxt:
-                        seen[nb] = dist
-                    frontier = np.fromiter(
-                        nxt, dtype=np.int64, count=len(nxt)
-                    )
-                memo[c] = sorted(seen.items())
+                memo[c] = grid_disk_distances(c, k)
             reps = np.array(
                 [len(memo.get(int(c), ())) for c in cells], dtype=np.int64
             )

@@ -61,9 +61,18 @@ def _default_local_dir(extra_conf: dict[str, str] | None) -> str | None:
     Deliberately NOT applied when the deployment already chose a location:
     ``SPARK_LOCAL_DIRS`` env (Spark's own override, which outranks the
     conf anyway) or an explicit ``spark.local.dir`` in ``extra_conf``.
-    On a real cluster the admin's conf wins by the same rule."""
-    if os.environ.get("SPARK_LOCAL_DIRS") or (
-        extra_conf and "spark.local.dir" in extra_conf
+    On a real cluster the admin's conf wins by the same rule.
+
+    Caveats (review r5) — the free-space check runs ONCE at session
+    creation: a job whose shuffle/spill later outgrows tmpfs (capacity is
+    typically 50% of RAM) fails with ENOSPC where a disk default had
+    headroom, and SIGKILLed sessions leak their scratch dir as held RAM
+    until reboot. Workloads near either edge should opt out with
+    ``SPARK_GRAFT_NO_SHM=1`` (or set an explicit local dir)."""
+    if (
+        os.environ.get("SPARK_LOCAL_DIRS")
+        or os.environ.get("SPARK_GRAFT_NO_SHM")
+        or (extra_conf and "spark.local.dir" in extra_conf)
     ):
         return None
     shm = "/dev/shm"

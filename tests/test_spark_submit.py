@@ -186,3 +186,13 @@ def test_default_local_dir_rules(monkeypatch):
     # Spark's own env override wins
     monkeypatch.setenv("SPARK_LOCAL_DIRS", "/tmp/y")
     assert S._default_local_dir(None) is None
+
+
+def test_default_local_dir_opt_out_env(monkeypatch):
+    """SPARK_GRAFT_NO_SHM=1 disables the RAM-disk default (escape hatch
+    for workloads whose shuffle/spill could outgrow tmpfs mid-job)."""
+    import linear_kdtree_spark.session as S
+
+    monkeypatch.delenv("SPARK_LOCAL_DIRS", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_NO_SHM", "1")
+    assert S._default_local_dir(None) is None
