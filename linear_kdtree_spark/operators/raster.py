@@ -21,9 +21,9 @@ def _deinterleave(tile: Column, depth: int, odd: bool) -> Column:
     out = F.lit(0).cast("long")
     for i in range(depth):
         bitpos = 2 * i + (1 if odd else 0)
-        out = out + (
-            F.floor(tile / F.lit(float(1 << bitpos))).cast("long") % 2
-        ) * F.lit(1 << i)
+        # exact integer bit extraction — a double divide loses the low
+        # bits once tile >= 2^53, i.e. wrong rectangles at depth >= 27
+        out = out + (F.shiftright(tile, bitpos) % 2) * F.lit(1 << i)
     return out
 
 

@@ -262,3 +262,62 @@ def test_raster_pyramid_rollup(spark, dataset):
                   for r in rasterize(pts, d).collect()}
         assert by_depth[d] == direct, d
     assert by_depth[0] == {0: len(keys)}
+
+
+def test_deinterleave_exact_above_2_53(spark):
+    """Bit extraction from Z-order tiles must be exact integer arithmetic:
+    a double-divide form loses low bits for tiles >= 2^53 (depth >= 27)."""
+    from linear_kdtree_spark.operators.raster import _deinterleave
+
+    d = 28
+    # a tile in the upper id range with LSBs set (the bits a double loses)
+    ix_ref = (1 << d) - 3
+    iy_ref = (1 << (d - 1)) + 5
+    tile = 0
+    for b in range(d):
+        tile |= ((ix_ref >> b) & 1) << (2 * b)
+        tile |= ((iy_ref >> b) & 1) << (2 * b + 1)
+    assert tile >= (1 << 53)
+    row = (
+        spark.range(1)
+        .select(
+            _deinterleave(F.lit(tile), d, odd=False).alias("ix"),
+            _deinterleave(F.lit(tile), d, odd=True).alias("iy"),
+        )
+        .first()
+    )
+    assert (row["ix"], row["iy"]) == (ix_ref, iy_ref)
+
+
+def test_knn_batch_degrades_without_node_bounds(spark, index, dataset):
+    """A tree reloaded without node_bounds gives every query an infinite
+    seed radius; the batch cover must then emit ONE full-range interval
+    per query (knn()'s documented degrade), not one interval per leaf —
+    and the results must still equal the bounded path's."""
+    from linear_kdtree_spark.operators.build import LktIndex
+    from linear_kdtree_spark.operators.knn import _cover_intervals, knn_batch
+    from linear_kdtree_spark.operators.tree import SplitTree
+
+    bare_tree = SplitTree(index.tree.nodes, index.tree.max_depth,
+                          index.tree.total_points)
+    assert not bare_tree.node_bounds
+    bare = LktIndex(points=index.points, splits=index.splits, tree=bare_tree,
+                    max_depth=index.max_depth, coord_type=index.coord_type)
+
+    # unit: infinite radius -> one full-range interval per query
+    A = bare_tree.to_query_arrays()
+    qx = np.array([10.0, 50.0, 90.0])
+    qy = np.array([10.0, 50.0, 90.0])
+    q, lo, hi = _cover_intervals(qx, qy, np.full(3, np.inf), A)
+    assert len(q) == 3 and set(q) == {0, 1, 2}
+    assert (lo == 0).all() and (hi == (1 << A["max_depth"])).all()
+
+    # end-to-end: boundless batch == bounded batch
+    queries = [(i, float(v), float(v * 0.7)) for i, v in
+               enumerate(range(0, 100, 9))]
+    qdf = spark.createDataFrame(queries, "query_id long, qx double, qy double")
+    got = sorted((r["query_id"], r["rank"], r["key"])
+                 for r in knn_batch(bare, qdf, 5).collect())
+    want = sorted((r["query_id"], r["rank"], r["key"])
+                  for r in knn_batch(index, qdf, 5).collect())
+    assert got == want
