@@ -186,6 +186,24 @@ def _cover_intervals(
             np.zeros(n, dtype=np.int64),
             np.full(n, one << md, dtype=np.int64),
         )
+    # degrade path (review r5): a query with no finite seed bound (tree
+    # reloaded without node_bounds) must cover the WHOLE key range as ONE
+    # interval — descending with r=inf would take both children at every
+    # split and emit every leaf separately per query, exploding the cover
+    # to n_queries x n_leaves rows (knn()'s driver loop already degrades
+    # to a single full_range scan in this case; this is its batch twin).
+    unbounded = ~np.isfinite(r2)
+    if unbounded.any():
+        uq = np.flatnonzero(unbounded).astype(np.int64)
+        bq, blo, bhi = _cover_intervals(
+            qx[~unbounded], qy[~unbounded], r2[~unbounded], A
+        )
+        fq = np.flatnonzero(~unbounded).astype(np.int64)
+        return (
+            np.concatenate([uq, fq[bq]]),
+            np.concatenate([np.zeros(len(uq), np.int64), blo]),
+            np.concatenate([np.full(len(uq), one << md, np.int64), bhi]),
+        )
     with np.errstate(invalid="ignore"):
         r = np.sqrt(r2)
     xlo, xhi, ylo, yhi = qx - r, qx + r, qy - r, qy + r
