@@ -772,17 +772,22 @@ GROUP BY d.doc_id
 
 
 # messy deterministic URLs exercising every canonicalization rule: case,
-# default ports, tracking params (leading/following/only), fragments,
-# trailing slashes — identical text in both engines
+# default ports (:80 stripped for http, :443 on http is NON-default and
+# kept), port-lookalikes and '&utm_' inside the PATH (must survive —
+# review r5), adjacent tracking params, tracking params leading /
+# following / only, fragments, trailing slashes — identical text in both
+# engines
 CANON_URLS_SQL = """
 SELECT doc_id,
   'HtTp://Host' || CAST(doc_id % 20 AS STRING) || '.ExAmple.com'
   || CASE WHEN doc_id % 3 = 0 THEN ':80' WHEN doc_id % 3 = 1 THEN ':443' ELSE '' END
   || '/path' || CAST(doc_id % 7 AS STRING)
+  || CASE WHEN doc_id % 5 = 0 THEN '/v:80/w'
+          WHEN doc_id % 5 = 3 THEN '/r&utm_x=1' ELSE '' END
   || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
   || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&q=' || CAST(doc_id % 5 AS STRING)
           WHEN doc_id % 4 = 1 THEN '?q=' || CAST(doc_id % 5 AS STRING) || '&gclid=abc'
-          WHEN doc_id % 4 = 2 THEN '?utm_campaign=z' ELSE '' END
+          WHEN doc_id % 4 = 2 THEN '?utm_campaign=z&utm_medium=m' ELSE '' END
   || CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END AS url
 FROM documents
 """.strip()
@@ -798,30 +803,35 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def url_dedup_oracle_sql() -> str:
-    canon = """regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-  lower(regexp_extract(u1, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1))
-    || regexp_replace(u1, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', ''),
-  ':80/', '/'), ':80\\?', '?'), ':80$', ''), ':443/', '/')"""
-    canon = f"regexp_replace(regexp_replace({canon}, ':443\\?', '?'), ':443$', '')"
-    canon = (
-        f"regexp_replace({canon}, '&(utm_[a-zA-Z]+|fbclid|gclid)=[^&]*', '', 'g')"
-    )
-    canon = (
-        f"regexp_replace({canon}, '\\?(utm_[a-zA-Z]+|fbclid|gclid)=[^&]*&', '?', 'g')"
-    )
-    canon = (
-        f"regexp_replace({canon}, '\\?(utm_[a-zA-Z]+|fbclid|gclid)=[^&]*$', '', 'g')"
-    )
-    canon = f"regexp_replace({canon}, '/$', '')"
+    # mirrors operators/curation.canonicalize_url step by step: fragment,
+    # lowercase authority, anchored scheme-default-port strip, query-string
+    # split-filter for tracking params, trailing slash
     return f"""
 WITH base AS ({CANON_URLS_SQL}),
-u AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u1 FROM base),
-c AS (SELECT doc_id, {canon} AS canon_url FROM u),
+u0 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u1 FROM base),
+u AS (SELECT doc_id,
+  regexp_replace(regexp_replace(
+    lower(regexp_extract(u1, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1))
+      || regexp_replace(u1, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', ''),
+    '^(http://[^/:?]*):80([/?].*)?$', '\\1\\2'),
+    '^(https://[^/:?]*):443([/?].*)?$', '\\1\\2') AS u2
+  FROM u0),
+q AS (SELECT doc_id,
+  regexp_extract(u2, '^([^?]*)', 1) AS base_part,
+  COALESCE(array_to_string(list_filter(
+    string_split(regexp_extract(u2, '^[^?]*\\?(.*)$', 1), '&'),
+    p -> NOT regexp_matches(p, '^(utm_[a-zA-Z]+|fbclid|gclid)=')), '&'), '')
+    AS kept
+  FROM u),
+c AS (SELECT doc_id, regexp_replace(
+  CASE WHEN kept = '' THEN base_part ELSE base_part || '?' || kept END,
+  '/$', '') AS canon_url FROM q),
 w AS (SELECT canon_url, MIN(doc_id) AS canonical_id FROM c GROUP BY canon_url)
-SELECT c.doc_id, c.canon_url, w.canonical_id,
-  CAST(CASE WHEN c.doc_id != w.canonical_id THEN 1 ELSE 0 END AS INTEGER)
-    AS is_duplicate
-FROM c JOIN w USING (canon_url)
+SELECT c.doc_id, c.canon_url,
+  COALESCE(w.canonical_id, c.doc_id) AS canonical_id,
+  CAST(CASE WHEN c.doc_id != COALESCE(w.canonical_id, c.doc_id)
+       THEN 1 ELSE 0 END AS INTEGER) AS is_duplicate
+FROM c LEFT JOIN w ON c.canon_url = w.canon_url
 """.strip()
 
 

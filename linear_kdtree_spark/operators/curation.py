@@ -60,25 +60,34 @@ _TRACKING = "(utm_[a-zA-Z]+|fbclid|gclid)"
 
 def canonicalize_url(url: F.Column) -> F.Column:
     """Canonical URL form for web-corpus dedup: drop the fragment,
-    lowercase scheme+host, strip default ports (:80/:443), remove
-    tracking query params (utm_*, fbclid, gclid), strip a trailing
-    slash. Pure regexp column expressions; every pattern avoids
+    lowercase scheme+host, strip the scheme's DEFAULT port (http:80 /
+    https:443, anchored to the authority), remove tracking query params
+    (utm_*, fbclid, gclid), strip a trailing slash. Every pattern avoids
     backreferences and lookarounds so Java regex (Spark) and RE2
-    (DuckDB oracle) agree exactly. Deliberately NOT stripped: `www.`
-    prefixes and param reordering (lossy / order is meaningful)."""
+    (DuckDB oracle) agree exactly; tracking params are removed by
+    splitting the query string and filtering (review r5 — an unanchored
+    substring replace corrupted paths that merely CONTAIN ':80/' or
+    '&utm_x=', silently merging distinct URLs). Deliberately NOT
+    stripped: `www.` prefixes, non-default ports, and param reordering
+    (lossy / order is meaningful)."""
     u = F.regexp_replace(url, "#.*", "")
     scheme_host = F.lower(
         F.regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1)
     )
     rest = F.regexp_replace(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", "")
     u = F.concat(scheme_host, rest)
-    for port in (":80", ":443"):
-        u = F.regexp_replace(u, port + "/", "/")
-        u = F.regexp_replace(u, port + "\\?", "?")
-        u = F.regexp_replace(u, port + "$", "")
-    u = F.regexp_replace(u, "&" + _TRACKING + "=[^&]*", "")
-    u = F.regexp_replace(u, "\\?" + _TRACKING + "=[^&]*&", "?")
-    u = F.regexp_replace(u, "\\?" + _TRACKING + "=[^&]*$", "")
+    u = F.regexp_replace(u, "^(http://[^/:?]*):80([/?].*)?$", "$1$2")
+    u = F.regexp_replace(u, "^(https://[^/:?]*):443([/?].*)?$", "$1$2")
+    base = F.regexp_extract(u, "^([^?]*)", 1)
+    qs = F.regexp_extract(u, "^[^?]*\\?(.*)$", 1)  # '' when no query
+    kept = F.array_join(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: ~p.rlike("^" + _TRACKING + "="),
+        ),
+        "&",
+    )
+    u = F.when(kept == "", base).otherwise(F.concat(base, F.lit("?"), kept))
     return F.regexp_replace(u, "/$", "")
 
 
@@ -94,13 +103,16 @@ def url_dedup(
     winners = canon.groupBy("canon_url").agg(
         F.min(id_col).alias("canonical_id")
     )
-    return canon.join(winners, "canon_url").select(
+    # LEFT join + coalesce: a NULL url never equi-joins (null != null), so
+    # an inner join silently dropped null-url docs from the corpus — they
+    # are kept as their own canonical instead (review r5)
+    return canon.join(winners, "canon_url", "left").select(
         id_col,
         "canon_url",
-        "canonical_id",
-        (F.col(id_col) != F.col("canonical_id")).cast("int").alias(
-            "is_duplicate"
-        ),
+        F.coalesce("canonical_id", F.col(id_col)).alias("canonical_id"),
+        (F.col(id_col) != F.coalesce("canonical_id", F.col(id_col)))
+        .cast("int")
+        .alias("is_duplicate"),
     )
 
 

@@ -465,6 +465,16 @@ def test_canonicalize_url_rules(spark):
         ("http://h.example/p?utm_a=1&q=2", "http://h.example/p?q=2"),
         ("http://h.example:8080/p", "http://h.example:8080/p"),
         ("http://h.example", "http://h.example"),
+        # anchoring (review r5): port-lookalikes and tracking-lookalikes
+        # inside the PATH must survive untouched
+        ("http://h.example/a:80/b", "http://h.example/a:80/b"),
+        ("http://h.example/a&utm_b=c", "http://h.example/a&utm_b=c"),
+        ("http://h.example:80/a:443/b?x=1", "http://h.example/a:443/b?x=1"),
+        # :443 on http is NOT the default port — a different origin, kept
+        ("http://h.example:443/p", "http://h.example:443/p"),
+        # adjacent tracking params all removed
+        ("http://h.example/p?utm_a=1&utm_b=2&q=3", "http://h.example/p?q=3"),
+        ("http://h.example/p?utm_a=1&utm_b=2", "http://h.example/p"),
     ]
     df = spark.createDataFrame(cases, "url string, expect string")
     rows = df.select("expect",
@@ -485,6 +495,22 @@ def test_url_dedup_canonical_grouping(spark):
     assert rows[1]["canonical_id"] == 1 and rows[1]["is_duplicate"] == 0
     assert rows[2]["canonical_id"] == 1 and rows[2]["is_duplicate"] == 1
     assert rows[4]["canonical_id"] == 3 and rows[4]["is_duplicate"] == 1
+
+
+def test_url_dedup_keeps_null_urls(spark):
+    """A NULL url must not vanish from the output (an inner equi-join on
+    the canonical form silently dropped it — review r5): the doc is kept
+    as its own canonical, never a duplicate."""
+    from linear_kdtree_spark.operators.curation import url_dedup
+
+    df = spark.createDataFrame(
+        [(1, "http://a.example/x"), (2, None), (3, None)],
+        "doc_id long, url string",
+    )
+    rows = {r["doc_id"]: r for r in url_dedup(df).collect()}
+    assert set(rows) == {1, 2, 3}
+    for d in (2, 3):
+        assert rows[d]["canonical_id"] == d and rows[d]["is_duplicate"] == 0
 
 
 def test_quantize_embeddings_bounds_and_fidelity(spark):
