@@ -43,6 +43,12 @@ def as_of_join(
             "payload column or pass right_cols explicitly"
         )
     tie_col = tie_col or right_cols[0]
+    # SQL ASOF semantics (the DuckDB oracle): NULL never matches — a right
+    # row with a NULL key or NULL ts can match nothing, and a left row
+    # with a NULL key gets null right columns. The window below would
+    # otherwise group NULL keys together and "match" them (review r5), so
+    # drop unmatched right rows up front; left rows always pass through.
+    right = right.filter(F.col(by).isNotNull() & F.col(ts_col).isNotNull())
     rstruct = T.StructType([right.schema[c] for c in right_cols])
     lstruct = T.StructType([left.schema[c] for c in left.columns])
     l2 = left.select(
@@ -84,9 +90,14 @@ def sessionize(
     by: str = "user_id",
     ts_col: str = "ts",
     id_col: str = "event_id",
+    watermark: str | None = None,
 ) -> DataFrame:
     """Gap-based sessionization via Spark's native ``session_window``
-    (works on batch AND streaming frames): one session per run of events
+    (works on batch AND streaming frames — a streaming input gets
+    ``withWatermark(ts_col, watermark or gap)`` attached, since Spark
+    rejects a streaming session aggregation without one; pass
+    ``watermark`` to bound late data differently from the session gap):
+    one session per run of events
     whose inter-arrival is ≤ ``gap``; window end = last event + gap, and
     the boundary is INCLUSIVE — an event exactly at the current end
     extends the session (verified against Spark's behavior in
@@ -94,6 +105,8 @@ def sessionize(
     accordingly). Outputs integer-only columns (epoch micros, counts, id
     bounds) so the result is bit-gateable against the gaps-and-islands
     formulation."""
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark or gap)
     sw = F.session_window(F.col(ts_col), gap)
     return (
         events.groupBy(F.col(by), sw.alias("w"))

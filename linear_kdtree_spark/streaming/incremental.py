@@ -79,6 +79,14 @@ class StreamingIndexer:
     batches_seen: int = 0
     total_rows: int = 0
 
+    def _history(self, spark) -> DataFrame | None:
+        """Rows already committed to the sink, or None before the first
+        write — the restart-safe source of 'everything seen so far'."""
+        try:
+            return spark.read.parquet(self.out_path)
+        except Exception:  # first batch: path does not exist yet
+            return None
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         n = batch_df.count()
@@ -89,13 +97,18 @@ class StreamingIndexer:
         # (batches_seen - 1) % rebuild_every: `% n == 1` never fires for
         # rebuild_every=1 (x % 1 is always 0)
         if self.index is None or (self.batches_seen - 1) % self.rebuild_every == 0:
-            seen = spark.read.parquet(self.out_path) if self.batches_seen > 1 else None
+            # history comes from the SINK, not the in-memory counter: after
+            # a query restart the counter resets but out_path still holds
+            # every committed batch (review r5 — the counter-based probe
+            # rebuilt from only the replayed batch). A replayed batch's own
+            # earlier write is excluded so its rows are not double-counted.
+            seen = self._history(spark)
             base = (
                 batch_df.select("key", "x", "y")
                 if seen is None
-                else seen.select("key", "x", "y").unionAll(
-                    batch_df.select("key", "x", "y")
-                )
+                else seen.filter(F.col("batch_id") != batch_id)
+                .select("key", "x", "y")
+                .unionAll(batch_df.select("key", "x", "y"))
             )
             self.index = lkt_build(
                 base,
@@ -107,14 +120,24 @@ class StreamingIndexer:
             batch_df.select("key", "x", "y"), self.index.tree,
             max_depth=self.max_depth,
         ).withColumn("batch_id", F.lit(batch_id))
-        labelled.write.mode("append").parquet(self.out_path)
+        # idempotent replay: dynamic partition overwrite on batch_id
+        # rewrites ONLY this batch's partition, so a batch replayed after a
+        # crash-before-checkpoint lands exactly once (plain append wrote it
+        # twice — review r5)
+        (
+            labelled.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(self.out_path)
+        )
 
 
 def incremental_build_stream(
     stream_df: DataFrame, out_path: str, checkpoint: str, **indexer_kw
 ):
     """Wire a streaming points DataFrame into the StreamingIndexer; returns
-    the started StreamingQuery (caller awaits/stops)."""
+    ``(started StreamingQuery, StreamingIndexer)`` — the caller awaits or
+    stops the query and reads the final tree off the indexer."""
     indexer = StreamingIndexer(out_path=out_path, **indexer_kw)
     return (
         stream_df.writeStream.foreachBatch(indexer.process_batch)

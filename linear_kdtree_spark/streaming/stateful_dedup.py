@@ -31,8 +31,16 @@ def streaming_exact_dedup(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, content_hash, canonical_id, is_duplicate) per input row;
-    canonical = smallest id seen so far (across ALL previous micro-batches)
-    for that exact text. Same hash expression as exact_dedup (md5)."""
+    canonical = FIRST-SEEN-WINS: the smallest id within the group's first
+    micro-batch, kept for every later batch. A smaller id arriving later is
+    flagged as a duplicate of the established canonical — append-mode
+    output cannot retroactively rewrite rows already emitted, so lowering
+    the stored canonical would only make later batches disagree with
+    earlier ones (review r5). This is the one semantics a streaming dedup
+    can keep consistent; batch ``exact_dedup`` over the full corpus yields
+    the global-min canonical instead, and the two agree whenever each
+    group's minimum id arrives in its first batch (how the differential
+    test drives it). Same hash expression as exact_dedup (md5)."""
     import pandas as pd
 
     hashed = docs.select(

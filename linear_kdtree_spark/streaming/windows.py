@@ -20,18 +20,22 @@ def windowed_event_counts(
     watermark: str = "10 minutes",
     ts_col: str = "ts",
     group_col: str = "event_type",
+    value_col: str | None = "value",
 ) -> DataFrame:
-    """Watermarked sliding-window counts/sums per group. Works on both a
-    streaming DataFrame (readStream) and a static one (same plan)."""
+    """Watermarked sliding-window counts per group, plus a sum when
+    ``value_col`` names a numeric column (None for count-only frames —
+    the column was previously hardcoded, failing any schema without one
+    literally named 'value'). Works on both a streaming DataFrame
+    (readStream) and a static one (same plan)."""
     w = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
     # testdata timestamps are TIMESTAMP_NTZ; watermarks require TIMESTAMP
     src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if events.isStreaming:
         src = src.withWatermark(ts_col, watermark)
-    return src.groupBy(w.alias("win"), group_col).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("value").alias("sum_value"),
-    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    return src.groupBy(w.alias("win"), group_col).agg(*aggs)
 
 
 def run_stream_once(

@@ -342,6 +342,26 @@ def test_streaming_incremental_build(spark, tmp_path):
     assert result.select("batch_id").distinct().count() == 3
     assert {"code", "node", "sort_key"} <= set(result.columns)
 
+    # restart + replay (review r5): a crash after writing batch 2 but
+    # before its checkpoint commit replays it into a FRESH indexer. The
+    # sink must hold each batch exactly once (dynamic partition overwrite,
+    # not blind append) and the rebuild must see ALL committed history,
+    # not just the replayed batch.
+    replay = StreamingIndexer(out_path=out, max_depth=8, rebuild_every=2)
+    pdf = pd.DataFrame(
+        {
+            "key": np.arange(200, 300),
+            "x": rng.uniform(0, 100, 100).astype("float32"),
+            "y": rng.uniform(0, 100, 100).astype("float32"),
+        }
+    )
+    replay.process_batch(spark.createDataFrame(pdf), 2)
+    after = spark.read.parquet(out)
+    assert after.count() == 300  # no duplicate rows from the replay
+    assert after.select("batch_id").distinct().count() == 3
+    # the post-restart rebuild covered every batch: 300 points in the tree
+    assert replay.index is not None and replay.index.tree.total_points == 300
+
 
 def test_pii_scrub_and_host(spark):
     from linear_kdtree_spark.functions.text import (
