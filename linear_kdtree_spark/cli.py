@@ -171,8 +171,33 @@ def cmd_tile(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    import bench
+    # bench.py lives at the repo root, not inside the package, so under
+    # the documented `spark-submit --py-files engine.zip` deployment a
+    # bare import fails (review r5) — fall back to loading it from the
+    # directory next to this package, and thread the parsed --master /
+    # --shuffle-partitions through the env knobs bench actually reads.
+    import os
 
+    if args.master:
+        os.environ["SPARK_GRAFT_MASTER"] = args.master
+    if args.shuffle_partitions:
+        os.environ["SPARK_GRAFT_CPUS"] = str(args.shuffle_partitions)
+    try:
+        import bench
+    except ModuleNotFoundError:
+        import importlib.util
+
+        cand = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "bench.py",
+        )
+        if not os.path.exists(cand):
+            print(json.dumps({"error": "bench.py not found; run from the "
+                              "repo root or ship it alongside the package"}))
+            return 2
+        spec = importlib.util.spec_from_file_location("bench", cand)
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
     return bench.main()
 
 

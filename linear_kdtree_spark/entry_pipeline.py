@@ -459,7 +459,7 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def domain_cap_oracle_sql(n: int = DOMAIN_CAP) -> str:
     return f"""
 WITH aug AS ({AUG_PAGES_SQL}),
-d AS (SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+d AS (SELECT regexp_extract(url, '^https?://(?:[^/?#@]*@)?([^/:?#]+)', 1) AS host,
         CAST(regexp_extract(url, '/(\\d+)$', 1) AS BIGINT) AS doc_id,
         len({TOKENS_DUCK}) AS n_tok
       FROM aug),
@@ -489,7 +489,7 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def domain_stats_oracle_sql() -> str:
     return f"""
 WITH aug AS ({AUG_PAGES_SQL})
-SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+SELECT regexp_extract(url, '^https?://(?:[^/?#@]*@)?([^/:?#]+)', 1) AS host,
   CAST(COUNT(*) AS BIGINT) AS n_pages,
   CAST(SUM(length(text)) AS BIGINT) AS sum_chars
 FROM aug GROUP BY 1
@@ -760,7 +760,7 @@ def repetition_oracle_sql() -> str:
             f"CAST(COALESCE(MAX(CASE WHEN n = {o} THEN mx END), 0) AS BIGINT) AS max_{nm}_count",
         ]
     return f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+WITH w AS (SELECT doc_id, {RAW_TOKENS_DUCK} AS ws FROM documents),
 g AS ({gram_selects}),
 c AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY doc_id, n, gram),
 s AS (SELECT doc_id, n, CAST(SUM(c) AS BIGINT) AS total, COUNT(*) AS dist,

@@ -148,10 +148,15 @@ def fast_derived_cols(
 # --------------------------------------------------------------------------
 
 def grid_cell_col(v: Column, vmin: float, vmax: float, depth: int) -> Column:
-    """Clamped cell ordinate: floor((v - vmin) * 2^depth / (vmax - vmin))."""
+    """Clamped cell ordinate: floor((v - vmin) * 2^depth / (vmax - vmin)).
+    NULL in → NULL out: Spark's greatest/least SKIP nulls, so without the
+    explicit guard a NULL coordinate silently clamped to cell 0 — every
+    missing-coordinate point piled into the (vmin) corner tile and
+    corrupted tile aggregates (review r5)."""
     scale = float((1 << depth) / (vmax - vmin))
     raw = F.floor((v.cast("double") - F.lit(vmin)) * F.lit(scale)).cast("long")
-    return F.least(F.greatest(raw, F.lit(0)), F.lit((1 << depth) - 1))
+    clamped = F.least(F.greatest(raw, F.lit(0)), F.lit((1 << depth) - 1))
+    return F.when(v.isNull(), F.lit(None).cast("long")).otherwise(clamped)
 
 
 def morton_tile_col(

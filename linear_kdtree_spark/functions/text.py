@@ -109,7 +109,12 @@ FP_WEIGHT = 31
 # PII patterns — RE2-compatible and portable to the DuckDB oracle dialect
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
-HOST_RE = r"^https?://([^/]+)/"
+# host of an http(s) URL: optional userinfo stripped, port stripped, and
+# NO trailing-slash requirement (review r5 — the old form returned '' for
+# bare-domain URLs like https://example.com and kept userinfo/port,
+# corrupting domain-level grouping). No lookarounds: Java regex and RE2
+# (the DuckDB oracle) agree.
+HOST_RE = r"^https?://(?:[^/?#@]*@)?([^/:?#]+)"
 
 
 def count_pattern(text: Column, pattern: str) -> Column:
@@ -228,7 +233,10 @@ def repetition_stats(docs, text_col: str = "text", id_col: str = "doc_id"):
     tagged (n, gram) together, then one map-side-combined shuffle on
     (doc, n, gram) and a tiny second agg — no per-order rescans; skewed
     hot grams are bounded per doc (the key includes the doc id)."""
-    words = F.split(F.col(text_col), " ")
+    # tokens(), not split(' '): consecutive/leading whitespace would inject
+    # empty-string "words" into every gram order and inflate the max-count
+    # gram (review r5); same tokenization as every other stat here
+    words = tokens(F.col(text_col))
     n = F.size(words)
 
     def word_grams(order):

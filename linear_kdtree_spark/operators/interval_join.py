@@ -35,12 +35,16 @@ def choose_shift(intervals: list[tuple], max_depth: int = MAX_DEPTH) -> int:
     return min(shift, max_depth)
 
 
+BROADCAST_ROW_CAP = 200_000
+
+
 def interval_join(
     points: DataFrame,
     intervals: list[tuple],
     interval_schema: str,
     key_col: str = "sort_key",
     max_depth: int = MAX_DEPTH,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Join points to interval rows.
 
@@ -73,7 +77,15 @@ def interval_join(
     ivals = spark.createDataFrame(rows, interval_schema + ", bucket long")
 
     pts = points.withColumn("bucket", F.shiftright(F.col(key_col), shift))
-    joined = pts.join(F.broadcast(ivals), "bucket").filter(
+    # hint broadcast only while the replicated side is actually tiny
+    # (review r5: an unconditional hint overrides autoBroadcastJoinThreshold
+    # and ships arbitrarily large exploded covers to every executor);
+    # above the cap — or with broadcast=False — Catalyst/AQE pick the
+    # join, exactly as the module docstring promises
+    if broadcast is None:
+        broadcast = len(rows) <= BROADCAST_ROW_CAP
+    joined = pts.join(F.broadcast(ivals) if broadcast else ivals, "bucket")
+    joined = joined.filter(
         (F.col(key_col) >= F.col("lo")) & (F.col(key_col) < F.col("hi"))
     )
     return joined.drop("bucket", "lo", "hi")

@@ -60,6 +60,21 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     )
 
 
+def _sniff_media_type(buf: bytes) -> str:
+    """Python twin of attach_media_metadata's prefix sniffing."""
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        return "image/png"
+    if buf[:2] == b"\xff\xd8":
+        return "image/jpeg"
+    if buf[:4] == b"RIFF":
+        return "audio/wav"
+    if buf[:1] == b"P" and buf[1:2] in b"23456":
+        return "image/x-portable-anymap"
+    if buf[:2] == b"BM":
+        return "image/bmp"
+    return "application/octet-stream"
+
+
 def _fake_decode(buf: bytes) -> np.ndarray:
     """Deterministic stand-in decode: digest-seeded 8×8×3 'image'."""
     seed = int.from_bytes(hashlib.md5(buf).digest()[:4], "big")
@@ -127,16 +142,36 @@ def extract_image_features(
 ) -> DataFrame:
     """Decode → per-image resize/statistics/feature vector, streamed through
     mapInPandas (one Arrow batch of binaries in, one batch of features out).
-    With ``fake_decode=False`` this raises at task time — the real-codec
-    integration point."""
+    Payloads the native codecs handle (PPM/PGM/BMP/PNG/baseline-JPEG) are
+    really decoded and report their sniffed media_type; anything else
+    falls back to the deterministic stand-in (media_type 'image/fake')
+    when ``fake_decode=True``, or raises at task time when False."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for url, buf in zip(pdf[url_col], pdf[payload_col]):
-                img = decode_image(bytes(buf), fake=fake_decode)
+                buf = bytes(buf)
+                # media_type reports what actually happened: the sniffed
+                # real format when the codec decoded it, 'image/fake' ONLY
+                # when the stand-in ran (it was previously hardcoded to
+                # 'image/fake' even for real decodes — review r5)
+                try:
+                    img = decode_image(buf, fake=False)
+                    mtype = _sniff_media_type(buf)
+                except (ValueError, NotImplementedError):
+                    if not fake_decode:
+                        raise
+                    img = _fake_decode(buf)
+                    mtype = "image/fake"
                 h, w, c = img.shape
                 flat = img.astype(np.float32).reshape(-1)
+                if len(flat) < feature_dim:
+                    # tiny-but-valid images (1x1..3x3) would otherwise pool
+                    # over zero groups and emit all-NaN features (review
+                    # r5); edge-pad deterministically to one value/slot
+                    flat = np.pad(flat, (0, feature_dim - len(flat)),
+                                  mode="edge")
                 # "resize": average-pool to feature_dim values
                 pooled = flat[: (len(flat) // feature_dim) * feature_dim].reshape(
                     feature_dim, -1
@@ -144,7 +179,7 @@ def extract_image_features(
                 rows.append(
                     {
                         "url": url,
-                        "media_type": "image/fake",
+                        "media_type": mtype,
                         "byte_len": len(buf),
                         "width": w,
                         "height": h,

@@ -35,9 +35,13 @@ def iceberg_available(spark: SparkSession) -> bool:
 class TableCatalog:
     """Minimal write/read/snapshot surface over Iceberg-or-parquet."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 catalog_name: str = "local"):
         self.spark = spark
         self.root = root
+        # the Iceberg catalog is whatever the deployment configured, not
+        # literally 'local' (review r5) — pass the name the probe found
+        self.catalog_name = catalog_name
         self.use_iceberg = iceberg_available(spark)
         os.makedirs(root, exist_ok=True)
 
@@ -45,20 +49,38 @@ class TableCatalog:
         return os.path.join(self.root, name, "_manifest.json")
 
     def write(self, name: str, df: DataFrame, mode: str = "overwrite") -> dict:
+        """``mode`` follows DataFrameWriter semantics (review r5 — it was
+        accepted and ignored): 'overwrite' starts a new current snapshot,
+        'append' adds a snapshot whose read unions back to the last
+        overwrite, 'errorifexists' refuses an existing table, 'ignore'
+        no-ops on one. Every snapshot stays in the manifest for
+        time travel regardless of mode."""
+        if mode not in ("overwrite", "append", "errorifexists", "ignore"):
+            raise ValueError(f"unsupported mode {mode!r}")
         path = os.path.join(self.root, name)
+        prev = self._read_manifest(name)
+        if prev is not None and mode == "errorifexists":
+            raise ValueError(f"table {name} already exists under {self.root}")
+        if prev is not None and mode == "ignore":
+            return prev
         if self.use_iceberg:  # pragma: no cover - jars absent in sandbox
-            df.writeTo(f"local.{name}").createOrReplace()
-            return {"table": name, "format": "iceberg"}
+            w = df.writeTo(f"{self.catalog_name}.{name}")
+            if mode == "append":
+                w.append()
+            else:
+                w.createOrReplace()
+            return {"table": name, "format": "iceberg", "mode": mode}
+        history = (prev or {}).get("snapshots", [])
+        # strictly increasing even when two writes land in the same ms
         snap_id = int(time.time() * 1000)
+        if history:
+            snap_id = max(snap_id, history[-1]["id"] + 1)
         data_path = os.path.join(path, f"snap_{snap_id}")
         df.write.mode("overwrite").parquet(data_path)
         manifest = {"current_snapshot": snap_id, "format": "parquet"}
-        prev = self._read_manifest(name)
-        history = (prev or {}).get("snapshots", [])
-        # the manifest must always carry the full snapshot history — mode
-        # only controls how the DATA write behaves, not snapshot tracking
         manifest["snapshots"] = history + [
-            {"id": snap_id, "path": data_path, "schema": df.schema.json()}
+            {"id": snap_id, "path": data_path, "schema": df.schema.json(),
+             "mode": "append" if (mode == "append" and history) else "overwrite"}
         ]
         os.makedirs(path, exist_ok=True)
         tmp = self._manifest_path(name) + ".tmp"
@@ -76,16 +98,23 @@ class TableCatalog:
 
     def read(self, name: str, snapshot_id: int | None = None) -> DataFrame:
         if self.use_iceberg:  # pragma: no cover
-            return self.spark.table(f"local.{name}")
+            return self.spark.table(f"{self.catalog_name}.{name}")
         m = self._read_manifest(name)
         if m is None:
             raise FileNotFoundError(f"table {name} not found under {self.root}")
         snaps = m["snapshots"]
         if snapshot_id is None:
-            snap = snaps[-1]
+            at = len(snaps) - 1
         else:
-            snap = next(s for s in snaps if s["id"] == snapshot_id)
-        return self.spark.read.parquet(snap["path"])
+            at = next(i for i, s in enumerate(snaps) if s["id"] == snapshot_id)
+        # an append snapshot holds only its delta: union back through the
+        # chain to (and including) the overwrite it sits on
+        paths = []
+        for s in snaps[: at + 1][::-1]:
+            paths.append(s["path"])
+            if s.get("mode", "overwrite") == "overwrite":
+                break
+        return self.spark.read.parquet(*paths[::-1])
 
     def snapshots(self, name: str) -> list[dict]:
         m = self._read_manifest(name)

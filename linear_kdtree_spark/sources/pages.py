@@ -26,12 +26,16 @@ WORDS = [
 
 
 def _h(seed: int, col: Column) -> Column:
-    """Deterministic 63-bit mix of a long column (splitmix-style: pure
-    integer column arithmetic, portable)."""
-    z = (col + F.lit(seed)) * F.lit(2654435761)
-    z = F.pmod(z, F.lit(2**62))
-    z = (z + F.lit(40503)) * F.lit(69069)
-    return F.pmod(z, F.lit(2**62))
+    """Deterministic 31-bit mix of a long column (two LCG rounds; pure
+    integer column arithmetic, portable). Every intermediate stays below
+    2^63: the input is reduced to 31 bits BEFORE each multiply, so the
+    expression never overflows under Spark's default ANSI mode at ANY id —
+    the previous 62-bit form multiplied a 2^62-range value and crashed
+    with ARITHMETIC_OVERFLOW above ~13k pages (review r5). 31 bits is
+    ample: every consumer takes pmod(h, m) with m ≤ 3.6e6."""
+    z = F.pmod(col + F.lit(seed), F.lit(2**31))
+    z = F.pmod(z * F.lit(2654435761) + F.lit(40503), F.lit(2**31))
+    return F.pmod(z * F.lit(69069) + F.lit(seed), F.lit(2**31))
 
 
 def coordinate_cols(id_col: Column) -> tuple[Column, Column]:

@@ -43,16 +43,38 @@ def test_save_index_tables(spark, tmp_path):
 
 
 def test_append_keeps_snapshot_history(spark, tmp_path):
-    """Regression: mode='append' previously dropped manifest['snapshots']
-    when history existed, making every later read() raise KeyError."""
+    """mode='append' ADDS rows to the table view (review r5: it was
+    accepted but behaved as overwrite, silently dropping appended data)
+    while every snapshot stays time-travelable."""
     cat = TableCatalog(spark, str(tmp_path / "cat2"))
     cat.write("t", spark.range(5).withColumnRenamed("id", "v"))
     cat.write("t", spark.range(7).withColumnRenamed("id", "v"), mode="append")
     cat.write("t", spark.range(9).withColumnRenamed("id", "v"), mode="append")
     snaps = cat.snapshots("t")
     assert len(snaps) == 3
-    assert cat.read("t").count() == 9
+    assert cat.read("t").count() == 5 + 7 + 9
     assert cat.read("t", snapshot_id=snaps[0]["id"]).count() == 5
+    assert cat.read("t", snapshot_id=snaps[1]["id"]).count() == 12
+    # a later overwrite resets the view; history still readable
+    cat.write("t", spark.range(3).withColumnRenamed("id", "v"))
+    assert cat.read("t").count() == 3
+    assert cat.read("t", snapshot_id=snaps[2]["id"]).count() == 21
+
+
+def test_write_modes_error_and_ignore(spark, tmp_path):
+    import pytest
+
+    cat = TableCatalog(spark, str(tmp_path / "cat3"))
+    df5 = spark.range(5).withColumnRenamed("id", "v")
+    cat.write("t", df5, mode="errorifexists")  # fresh table: fine
+    with pytest.raises(ValueError):
+        cat.write("t", df5, mode="errorifexists")
+    before = cat.snapshots("t")
+    cat.write("t", spark.range(9).withColumnRenamed("id", "v"), mode="ignore")
+    assert cat.snapshots("t") == before  # ignore: no new snapshot
+    assert cat.read("t").count() == 5
+    with pytest.raises(ValueError):
+        cat.write("t", df5, mode="bogus")
 
 
 def test_save_index_bounds_roundtrip(spark, tmp_path):

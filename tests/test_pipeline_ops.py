@@ -307,9 +307,32 @@ def test_multimodal_plumbing(spark):
     assert len(feats) == 3
     assert len(feats["u0"]["feature"]) == 16
     assert feats["u0"]["width"] == 8 and feats["u0"]["channels"] == 3
+    # garbage payloads went through the stand-in and say so
+    assert all(f["media_type"] == "image/fake" for f in feats.values())
     # deterministic: same bytes → same features
     feats2 = {r["url"]: r for r in extract_image_features(df).collect()}
     assert feats["u0"]["mean_intensity"] == feats2["u0"]["mean_intensity"]
+
+    # really-decodable payloads report their sniffed type, and a tiny
+    # 1x1 image must yield finite features (review r5: it pooled over
+    # zero groups -> all-NaN), even at fake_decode=False
+    import math
+
+    from linear_kdtree_spark.functions.mediacodec import encode_ppm
+
+    tiny = np.full((1, 1, 3), 7, dtype=np.uint8)
+    big = np.arange(300, dtype=np.uint8).reshape(10, 10, 3)
+    df2 = spark.createDataFrame(
+        [("t", bytearray(encode_ppm(tiny))), ("b", bytearray(encode_ppm(big)))],
+        "url string, payload binary",
+    )
+    f2 = {r["url"]: r for r in
+          extract_image_features(df2, fake_decode=False).collect()}
+    assert f2["t"]["media_type"] == "image/x-portable-anymap"
+    assert f2["t"]["width"] == 1 and f2["t"]["height"] == 1
+    assert all(math.isfinite(v) for v in f2["t"]["feature"])
+    assert all(abs(v - 7.0) < 1e-6 for v in f2["t"]["feature"])
+    assert f2["b"]["media_type"] == "image/x-portable-anymap"
 
     with pytest.raises(NotImplementedError):
         decode_image(b"abc", fake=False)

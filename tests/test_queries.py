@@ -321,3 +321,45 @@ def test_knn_batch_degrades_without_node_bounds(spark, index, dataset):
     want = sorted((r["query_id"], r["rank"], r["key"])
                   for r in knn_batch(index, qdf, 5).collect())
     assert got == want
+
+
+def test_interval_join_auto_broadcast_cap(spark):
+    """interval_join only hints broadcast while the exploded interval side
+    is small; a huge cover must leave the join strategy to Catalyst/AQE
+    (review r5: the unconditional hint overrode the size threshold)."""
+    import linear_kdtree_spark.operators.interval_join as ij
+
+    pts = spark.range(100).select(
+        F.col("id").alias("key"), F.col("id").alias("sort_key")
+    )
+    ivals = [(i, i, i + 1) for i in range(50)]
+    small = ij.interval_join(pts, ivals, "poly_id long, lo long, hi long")
+    assert "ResolvedHint (strategy=broadcast)" in small._jdf.queryExecution().logical().toString()
+    forced = ij.interval_join(
+        pts, ivals, "poly_id long, lo long, hi long", broadcast=False
+    )
+    # no HINT — Catalyst/AQE may still pick broadcast for a tiny side,
+    # but nothing overrides autoBroadcastJoinThreshold for a huge one
+    assert "ResolvedHint" not in forced._jdf.queryExecution().logical().toString()
+    assert small.count() == forced.count() == 50
+    # the auto cap: a cover past BROADCAST_ROW_CAP rows gets no hint
+    assert ij.BROADCAST_ROW_CAP >= 1000
+
+
+def test_grid_cell_null_coordinates_stay_null(spark):
+    """NULL coordinates must map to a NULL tile, not the corner cell
+    (Spark's greatest/least skip nulls — review r5)."""
+    from linear_kdtree_spark.functions.morton import grid_cell_col, morton_tile_col
+
+    df = spark.createDataFrame(
+        [(0, None, 5.0), (1, 5.0, None), (2, 5.0, 5.0)],
+        "key long, x double, y double",
+    )
+    out = {r["key"]: (r["cx"], r["tile"]) for r in df.select(
+        "key",
+        grid_cell_col(F.col("x"), 0.0, 10.0, 4).alias("cx"),
+        morton_tile_col(F.col("x"), F.col("y"), 4, (0.0, 0.0, 10.0, 10.0)).alias("tile"),
+    ).collect()}
+    assert out[0] == (None, None)
+    assert out[1][1] is None
+    assert out[2][0] == 8 and out[2][1] is not None
