@@ -132,7 +132,11 @@ def _levelsync_build(spark, sf_dir, strategy="mean", coord_type="double",
     share one build; the f32/median variants get their own entries."""
     from linear_kdtree_spark.operators.build import lkt_build
 
-    key = (id(spark), sf_dir, strategy, coord_type, max_depth)
+    # applicationId, not id(spark): CPython reuses freed addresses, so a
+    # new session could alias a dead session's cached index (same hazard
+    # build.py fixed for its token cache — ADVICE r3)
+    key = (spark.sparkContext.applicationId, sf_dir, strategy, coord_type,
+           max_depth)
     if key in _LEVELSYNC_CACHE:
         return _LEVELSYNC_CACHE[key]
     idx = lkt_build(
@@ -211,7 +215,8 @@ def _gate_index(spark, sf_dir, leaf_size=16, max_depth=16):
     """Build (once per sf_dir per session) the shared gate index."""
     from linear_kdtree_spark.operators.build import lkt_build
 
-    cache_key = (id(spark), sf_dir, leaf_size, max_depth)
+    cache_key = (spark.sparkContext.applicationId, sf_dir, leaf_size,
+                 max_depth)
     if cache_key in _INDEX_CACHE:
         return _INDEX_CACHE[cache_key]
     idx = lkt_build(
@@ -1067,7 +1072,14 @@ def _build_cte(
         )
         if strategy == "mean":
             # f32 builds quantize the mean split to FLOAT (ord_t, lkt.h:13)
-            # exactly like the engine (oracle.split_value / _split_stats)
+            # exactly like the engine (oracle.split_value / _split_stats).
+            # The double path compares raw AVG(double) across engines whose
+            # SUMMATION ORDER differs (Spark partial aggs vs DuckDB serial)
+            # — bit-equal only while no point sits within ~1 ulp of a mean
+            # split, which holds for the float32-derived fixture coords
+            # (verified every round); a point ON the boundary would flip
+            # sides in one engine only. The f32 gate pins the
+            # quantized-split contract that is robust to this by design.
             avg = (
                 f"CAST(CAST(AVG({ax}) AS FLOAT) AS DOUBLE)"
                 if f32
@@ -1406,6 +1418,14 @@ def oracle_sql() -> dict[str, str]:
     return out
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: skewed web-style points → lkt build → exact kNN batch."""
-    return q_knn(spark, "/root/testdata/sf0.001")
+def entry(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Flagship: skewed web-style points → lkt build → exact kNN batch.
+    ``sf_dir`` defaults to ``$SPARK_GRAFT_SF_DIR_ENTRY`` or the driver's
+    smallest fixture — a parameter/env, not a hardcoded path, so the
+    flagship runs outside this sandbox (review r5)."""
+    import os
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_SF_DIR_ENTRY", "/root/testdata/sf0.001"
+    )
+    return q_knn(spark, sf_dir)

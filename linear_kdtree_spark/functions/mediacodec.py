@@ -219,9 +219,15 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     data = samples.astype(np.dtype(kind).newbyteorder("<")).tobytes()
     block = ch * bits // 8
     fmt = struct.pack("<HHIIHH", audio_fmt, ch, rate, rate * block, block, bits)
-    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+    # RIFF requires word-aligned chunks: an odd-length data chunk carries a
+    # pad byte NOT counted in the chunk size but counted in the RIFF size
+    # (review r5 — spec-compliant walkers advance size+pad past it)
+    pad = b"\x00" if len(data) % 2 else b""
+    out = b"RIFF" + struct.pack(
+        "<I", 4 + 8 + len(fmt) + 8 + len(data) + len(pad)
+    ) + b"WAVE"
     out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
-    out += b"data" + struct.pack("<I", len(data)) + data
+    out += b"data" + struct.pack("<I", len(data)) + data + pad
     return out
 
 

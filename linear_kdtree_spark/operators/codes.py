@@ -66,9 +66,26 @@ def make_label_udf(
     spark, tree: SplitTree, max_depth: int | None = None, coord_type: str = "float"
 ):
     """Returns a pandas UDF (x, y) → struct<code, node, path_len> bound to a
-    broadcast of the tree's positional arrays."""
+    broadcast of the tree's positional arrays.
+
+    The broadcast is cached ON the (immutable) tree per application —
+    repeated labelling against the same tree (e.g. the streaming indexer
+    calling attach_labels every micro-batch) previously re-serialized and
+    re-broadcast the arrays each call and never released them, leaking one
+    broadcast per batch (review r5)."""
     md = max_depth or tree.max_depth
-    bc = spark.sparkContext.broadcast(tree.to_arrays())
+    app_id = spark.sparkContext.applicationId
+    cached = getattr(tree, "_label_bc", None)
+    if cached is not None and cached[0] == app_id:
+        bc = cached[1]
+    else:
+        if cached is not None:  # stale broadcast from a previous session
+            try:
+                cached[1].unpersist()
+            except Exception:
+                pass
+        bc = spark.sparkContext.broadcast(tree.to_arrays())
+        tree._label_bc = (app_id, bc)
     quantize = coord_type == "float"
 
     @F.pandas_udf(LABEL_SCHEMA)

@@ -184,15 +184,22 @@ def h3_parent_col(cell: F.Column, parent_res: int) -> F.Column:
     no recompute and no Python. NB: unlike the engine's own hex index
     (exact nesting), H3 children straddle parent boundaries, so
     ``parent(cell(p, r)) == cell(p, parent_res)`` holds for interior
-    points only (~94% at r=15→4; tests/test_h3.py)."""
+    points only (~94% at r=15→4; tests/test_h3.py).
+
+    Cells COARSER than ``parent_res`` yield NULL (truncating upward is
+    meaningless; the numpy twin cell_to_parent raises — review r5: the
+    unvalidated form stamped a res nibble onto unchanged digits, emitting
+    malformed ids that groupBy'd into garbage buckets with no error)."""
     res_mask = 0xF << 52
     pad = sum(7 << (45 - 3 * r) for r in range(parent_res + 1, 16))
-    return (
+    cell_res = F.shiftright(cell, 52).bitwiseAND(F.lit(0xF))
+    parent = (
         cell.bitwiseAND(F.lit(~res_mask))
         .bitwiseOR(F.lit(parent_res << 52))
         .bitwiseOR(F.lit(pad))
         .cast("long")
     )
+    return F.when(cell_res >= parent_res, parent)
 
 
 def assign_tiles_h3(df: DataFrame, resolution: int,
@@ -302,7 +309,12 @@ def h3_disk_expand(
     def expand(batches):
         memo: dict[int, list[tuple[int, int]]] = {}
         for pdf in batches:
-            cells = pdf[cell_col].to_numpy(dtype=np.int64)
+            # NULL cells arrive as NaN and would crash the int64 cast,
+            # killing the whole task (review r5) — treat them like the
+            # H3_NULL sentinel 0: the row expands to nothing (callers that
+            # must keep such rows filter/flag them before expanding)
+            raw = pdf[cell_col]
+            cells = raw.fillna(0).to_numpy(dtype=np.int64)
             for c in np.unique(cells):
                 c = int(c)
                 if c in memo or c == 0:

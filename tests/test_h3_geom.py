@@ -213,3 +213,40 @@ def test_h3_disk_expand_and_boundary_spark(spark):
         assert verts.shape == (6, 2)
         ref = G.cell_to_boundary(int(row["h3_cell"]))
         assert np.allclose(verts, ref, atol=0)
+
+
+def test_h3_parent_col_coarser_cell_is_null(spark):
+    """Truncating a cell to a FINER 'parent' is meaningless: the column
+    expression yields NULL where the numpy twin raises (review r5 — it
+    previously emitted malformed ids)."""
+    from pyspark.sql import functions as F
+
+    from linear_kdtree_spark.functions.h3 import latlng_to_cell
+    from linear_kdtree_spark.operators.tile import h3_parent_col
+
+    c5 = int(latlng_to_cell([37.775], [-122.419], 5)[0])
+    df = spark.createDataFrame([(c5,)], "cell long")
+    row = df.select(
+        h3_parent_col(F.col("cell"), 3).alias("up"),
+        h3_parent_col(F.col("cell"), 5).alias("same"),
+        h3_parent_col(F.col("cell"), 9).alias("down"),
+    ).first()
+    assert row["up"] is not None and row["down"] is None
+    assert row["same"] == c5
+
+
+def test_h3_disk_expand_null_and_sentinel_rows(spark):
+    """NULL or H3_NULL(0) cells expand to nothing instead of crashing the
+    task with a NaN->int64 cast error (review r5)."""
+    from pyspark.sql import functions as F
+
+    from linear_kdtree_spark.functions.h3 import latlng_to_cell
+    from linear_kdtree_spark.operators.tile import h3_disk_expand
+
+    good = int(latlng_to_cell([10.0], [20.0], 6)[0])
+    df = spark.createDataFrame(
+        [(1, good), (2, None), (3, 0)], "row_id long, h3_cell long"
+    )
+    out = h3_disk_expand(df, k=1).collect()
+    assert {r["row_id"] for r in out} == {1}
+    assert len(out) == 7  # hexagon k=1 disk

@@ -326,3 +326,20 @@ class TestPng:
         gray = rng.integers(0, 256, (6, 5), dtype=np.uint8)
         out = decode_image(encode_png(gray))
         assert out.shape == (6, 5, 1)
+
+
+def test_wav_odd_length_data_chunk_is_padded():
+    """RIFF chunks are word-aligned: odd byte counts carry a pad byte not
+    counted in the chunk size but counted in the RIFF size (review r5)."""
+    import struct
+
+    import numpy as np
+
+    from linear_kdtree_spark.functions.mediacodec import decode_wav, encode_wav
+
+    buf = encode_wav(np.array([1, 2, 3], dtype=np.uint8), rate=8000)
+    assert len(buf) % 2 == 0
+    riff_size = struct.unpack("<I", buf[4:8])[0]
+    assert riff_size == len(buf) - 8  # pad counted in the RIFF size
+    samples, rate = decode_wav(buf)
+    assert rate == 8000 and samples.ravel().tolist() == [1, 2, 3]
