@@ -181,6 +181,15 @@ def cmd_bench(args) -> int:
     if args.master:
         os.environ["SPARK_GRAFT_MASTER"] = args.master
     if args.shuffle_partitions:
+        # bench.py sizes BOTH the default master local[N] and the shuffle
+        # partition count from SPARK_GRAFT_CPUS; pin the master to the
+        # real core count first so a high --shuffle-partitions does not
+        # silently start that many executor threads (ADVICE r5)
+        if not args.master and not os.environ.get("SPARK_GRAFT_MASTER"):
+            cpus = int(
+                os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)
+            )
+            os.environ["SPARK_GRAFT_MASTER"] = f"local[{cpus}]"
         os.environ["SPARK_GRAFT_CPUS"] = str(args.shuffle_partitions)
     try:
         import bench

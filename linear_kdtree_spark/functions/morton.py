@@ -170,14 +170,19 @@ def morton_tile_col(
     xmin, ymin, xmax, ymax = bounds
     ix = grid_cell_col(x, xmin, xmax, depth)
     iy = grid_cell_col(y, ymin, ymax, depth)
+    # pure integer shift/mask interleave — bit i of a clamped non-negative
+    # cell ordinate is shiftright(v, i) & 1 == floor(v / 2^i) % 2, so the
+    # values are identical to the double-divide form the SQL oracle text
+    # keeps (morton_tile_sql), at a fraction of the per-row cost (the
+    # divide form pays a double divide + floor + cast per bit)
     tile = F.lit(0).cast("long")
     for i in range(depth):
-        tile = tile + (
-            F.floor(ix / F.lit(float(1 << i))).cast("long") % 2
-        ) * F.lit(1 << (2 * i))
-        tile = tile + (
-            F.floor(iy / F.lit(float(1 << i))).cast("long") % 2
-        ) * F.lit(1 << (2 * i + 1))
+        tile = tile + F.shiftleft(
+            F.shiftright(ix, i).bitwiseAND(F.lit(1)), 2 * i
+        )
+        tile = tile + F.shiftleft(
+            F.shiftright(iy, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
     return tile
 
 

@@ -61,6 +61,22 @@ from linear_kdtree_spark.operators.tree import SplitTree
 # probe no longer and codegen size grows, so the join path takes over.
 SPLIT_MAP_MAX = 64
 
+
+def _literal_lookup(col, pairs):
+    """node → value lookup as a chained CASE WHEN over literals (NULL on
+    missing key, same semantics as the broadcast-join/`try_element_at`
+    alternatives). Unlike ``try_element_at(create_map(...))`` this
+    allocates NOTHING per row — CreateMap of literals is not constant-
+    folded, so the map form rebuilds the map object per row per level;
+    with mid-loop persists stretched out that compounded to a measured
+    6× build regression (r6 persist-every experiment), while the CASE
+    chain is pure codegen comparisons."""
+    expr = None
+    for k, v in pairs:
+        w = (col == F.lit(k), F.lit(v))
+        expr = F.when(*w) if expr is None else expr.when(*w)
+    return expr
+
 SPLITS_SCHEMA = T.StructType(
     [
         T.StructField("node_id", T.LongType(), False),
@@ -309,20 +325,18 @@ def lkt_build(
         if len(splittable) <= SPLIT_MAP_MAX:
             # the distributed phase is the TOP of the tree: ≤ n/threshold
             # active nodes per level, so the split table is tiny. A literal
-            # map lookup keeps the level transform inside ONE whole-stage-
-            # codegen projection — no broadcast exchange, no join node, no
-            # per-level createDataFrame round-trip — which is precisely the
-            # per-level fixed cost that caps the high-parallelism leg
-            # (BENCH/SCALING.md r4: 5 sequential stats jobs × ~1 s fixed
-            # scale 1.4× vs the 0.988 substrate control). Lookup is a
-            # linear scan of ≤ SPLIT_MAP_MAX entries — cheaper per row
-            # than a hash-join probe at this size. try_element_at: NULL on
-            # missing key (ANSI-safe), same semantics as the left join.
-            m = F.create_map(
-                *[F.lit(v) for pair in splittable for v in pair]
-            )
+            # CASE-chain lookup keeps the level transform inside ONE whole-
+            # stage-codegen projection — no broadcast exchange, no join
+            # node, no per-level createDataFrame round-trip — which is
+            # precisely the per-level fixed cost that caps the high-
+            # parallelism leg (BENCH/SCALING.md r4: 5 sequential stats
+            # jobs × ~1 s fixed scale 1.4× vs the 0.988 substrate
+            # control). Lookup is a linear scan of ≤ SPLIT_MAP_MAX
+            # comparisons — cheaper per row than a hash-join probe at
+            # this size, and allocation-free (see _literal_lookup; NULL
+            # on missing key, same semantics as the left join).
             joined = pts.withColumn(
-                "sv", F.try_element_at(m, F.col("node"))
+                "sv", _literal_lookup(F.col("node"), splittable)
             )
         else:  # deep distributed builds (leaf_size-bounded, e.g. resume)
             sdf = spark.createDataFrame(splittable, "node long, sv double")
@@ -639,12 +653,27 @@ def _local_finish_fused(
         route = [
             (g, tokens[b]) for b, members in enumerate(bins) for g in members
         ]
-        rdf = spark.createDataFrame(route, "node long, _tok long")
-        src = (
-            base.join(F.broadcast(rdf), "node")
-            .repartition(n_parts, "_tok")
-            .drop("_tok")
-        )
+        if len(route) <= SPLIT_MAP_MAX:
+            # same literal CASE-chain trick as the level loop: the
+            # node→token routing stays inside one whole-stage-codegen
+            # projection — no broadcast exchange, no join node feeding
+            # the shuffle (every base row's node is a live subtree, so
+            # the lookup never misses; the n_out == total guard below
+            # would catch a violation either way)
+            src = (
+                base.withColumn(
+                    "_tok", _literal_lookup(F.col("node"), route)
+                )
+                .repartition(n_parts, "_tok")
+                .drop("_tok")
+            )
+        else:
+            rdf = spark.createDataFrame(route, "node long, _tok long")
+            src = (
+                base.join(F.broadcast(rdf), "node")
+                .repartition(n_parts, "_tok")
+                .drop("_tok")
+            )
     else:  # pragma: no cover - JVM partitioning changed; keep correctness
         _, _, lo_expr = fast_derived_cols(F.col("node"), max_depth)
         src = (
@@ -777,7 +806,9 @@ def _local_finish_fused(
     # a perf difference, never a semantic one.
     arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     prev_batch = spark.conf.get(arrow_key, None)
-    spark.conf.set(arrow_key, "500000")
+    spark.conf.set(
+        arrow_key, os.environ.get("SPARK_GRAFT_FUSED_BATCH", "500000")
+    )
     try:
         n_out = out.count()
     finally:

@@ -17,6 +17,8 @@ expressions and never touch Python.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -26,6 +28,9 @@ from linear_kdtree_spark.oracle import MAX_DEPTH
 from linear_kdtree_spark.operators.tree import SplitTree
 
 LABEL_SCHEMA = "code: long, node: long, path_len: int"
+
+# guards the per-tree broadcast cache in make_label_udf (ADVICE r5)
+_LABEL_BC_LOCK = threading.Lock()
 
 
 def _traverse(
@@ -75,17 +80,22 @@ def make_label_udf(
     broadcast per batch (review r5)."""
     md = max_depth or tree.max_depth
     app_id = spark.sparkContext.applicationId
-    cached = getattr(tree, "_label_bc", None)
-    if cached is not None and cached[0] == app_id:
-        bc = cached[1]
-    else:
-        if cached is not None:  # stale broadcast from a previous session
-            try:
-                cached[1].unpersist()
-            except Exception:
-                pass
-        bc = spark.sparkContext.broadcast(tree.to_arrays())
-        tree._label_bc = (app_id, bc)
+    # serialized check-then-set: concurrent first calls against a shared
+    # tree (e.g. parallel streaming queries) would otherwise each create
+    # a broadcast and leak all but the last one (ADVICE r5); the lock is
+    # cheap next to broadcast creation
+    with _LABEL_BC_LOCK:
+        cached = getattr(tree, "_label_bc", None)
+        if cached is not None and cached[0] == app_id:
+            bc = cached[1]
+        else:
+            if cached is not None:  # stale broadcast from a prev session
+                try:
+                    cached[1].unpersist()
+                except Exception:
+                    pass
+            bc = spark.sparkContext.broadcast(tree.to_arrays())
+            tree._label_bc = (app_id, bc)
     quantize = coord_type == "float"
 
     @F.pandas_udf(LABEL_SCHEMA)

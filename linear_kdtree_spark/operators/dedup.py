@@ -83,6 +83,21 @@ def drop_oversized_buckets(
     return bucketed.join(F.broadcast(sizes.select(*keys)), keys, "left_anti")
 
 
+def widen_partitions(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a NARROW input up to the session's default
+    parallelism. Small corpus tables often arrive as a single parquet file
+    = one partition, which serializes the expensive per-doc work
+    (shingling + num_perm md5 passes ran as ONE 100 s task at bench scale
+    — measured r6). Inputs already at/above default parallelism pass
+    through untouched, so corpus-scale tables never pay a gratuitous
+    shuffle. Purely physical: every consumer is keyed/aggregated, so the
+    result is partitioning-independent."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 # --------------------------------------------------------------- exact dedup
 
 def exact_dedup(
@@ -144,7 +159,7 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard for given candidate (a_id, b_id) pairs —
     array_intersect / array_union sizes, no UDF."""
-    sh = docs.select(
+    sh = widen_partitions(docs).select(
         F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh")
     ).persist()  # shingled once, probed twice (both join sides)
     a = sh.select(F.col("_id").alias("a_id"), F.col("_sh").alias("a_sh"))
@@ -219,7 +234,7 @@ def lsh_candidate_pairs(
     unpersist explicitly (as minhash_dedup's refine does implicitly by
     consuming the pairs in the same job)."""
     rows = num_perm // bands
-    sh_df = docs.select(
+    sh_df = widen_partitions(docs).select(
         F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh")
     ).persist()  # materialization boundary: shingle once, hash num_perm×
     sig = sh_df.select(
@@ -329,7 +344,7 @@ def simhash_near_pairs(
     ≥ one identical band of ``band_bits`` consecutive bits (guaranteed
     complete when bits/band_bits > max_hamming), then exact popcount
     refine via bit arithmetic."""
-    prof = simhash_profile(docs, bits, text_col, id_col)
+    prof = simhash_profile(widen_partitions(docs), bits, text_col, id_col)
     n_bands = bits // band_bits
     parts = []
     for b in range(n_bands):

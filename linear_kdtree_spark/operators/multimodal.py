@@ -15,22 +15,33 @@ stand-in for plumbing tests of unrecognized formats.
 Scale notes: binary payloads dominate row size — the operators project
 metadata-only where possible (column pruning keeps payload bytes out of
 shuffles), and mapInPandas streams batches without materializing a
-partition. Decode cost honesty (ADVICE r4): PNG rows filtered with
-Average/Paeth reverse an inherently SEQUENTIAL per-byte recurrence
-(left-neighbor dependency) — plain-int Python, ~0.6 ms per 512-px RGB
-row, orders slower than the numpy-vectorized PPM/BMP/WAV paths; at
-corpus scale, route mass PNG decode through a native codec and keep
-this from-scratch path for verification and air-gapped correctness."""
+partition. Decode cost (re-measured r6 after the optimization round):
+the PNG path decodes a 1024² RGB all-Paeth corpus leg at ~3.4 MB/s
+(was 0.7 — table-driven DEFLATE Huffman, batched LZ77 copies, and the
+anti-diagonal wavefront unfilter in functions/mediacodec.py replaced
+the per-byte loops; unfilter component ~10×). Still ~2 orders below a
+native codec — at corpus scale, route mass PNG decode through one and
+keep this from-scratch path for verification and air-gapped
+correctness."""
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# decoder failure classes the fallback paths normalize: the from-scratch
+# codecs raise ValueError/NotImplementedError for recognized-but-bad or
+# unsupported streams, but a TRUNCATED header dies inside struct.unpack /
+# buffer indexing before any validation can see it (verified: decode_bmp
+# on a cut-off header raises raw struct.error — ADVICE r5 medium), which
+# previously killed the whole job even with fake_decode=True
+_DECODE_ERRORS = (ValueError, NotImplementedError, struct.error, IndexError)
 
 IMAGE_META_SCHEMA = (
     "url string, media_type string, byte_len long, width int, height int, "
@@ -97,25 +108,26 @@ def decode_image(buf: bytes, fake: bool = False) -> np.ndarray:
     )
 
     buf = bytes(buf)
-    if buf[:1] == b"P" and buf[1:2] in b"2356":
-        img = decode_ppm(buf)
-        return img if img.ndim == 3 else img[:, :, None]
-    if buf[:2] == b"BM":
-        return decode_bmp(buf)
-    if buf[:8] == b"\x89PNG\r\n\x1a\n":
-        img = decode_png(buf)
-        return img if img.ndim == 3 else img[:, :, None]
-    if buf[:2] == b"\xff\xd8":
-        try:
+    try:
+        if buf[:1] == b"P" and buf[1:2] in b"2356":
+            img = decode_ppm(buf)
+            return img if img.ndim == 3 else img[:, :, None]
+        if buf[:2] == b"BM":
+            return decode_bmp(buf)
+        if buf[:8] == b"\x89PNG\r\n\x1a\n":
+            img = decode_png(buf)
+            return img if img.ndim == 3 else img[:, :, None]
+        if buf[:2] == b"\xff\xd8":
             img = decode_jpeg(buf)
-        except (ValueError, NotImplementedError):
-            # fake=True is the plumbing-test mode: malformed or
-            # non-baseline streams fall back to the stand-in there;
-            # in real mode the decode error propagates
-            if fake:
-                return _fake_decode(buf)
-            raise
-        return img if img.ndim == 3 else img[:, :, None]
+            return img if img.ndim == 3 else img[:, :, None]
+    except _DECODE_ERRORS:
+        # fake=True is the plumbing-test mode: malformed (including
+        # truncated-header struct.error — ADVICE r5), non-baseline or
+        # unsupported streams fall back to the stand-in there; in real
+        # mode the decode error propagates
+        if fake:
+            return _fake_decode(buf)
+        raise
     if fake:
         return _fake_decode(buf)
     raise NotImplementedError(
@@ -159,7 +171,7 @@ def extract_image_features(
                 try:
                     img = decode_image(buf, fake=False)
                     mtype = _sniff_media_type(buf)
-                except (ValueError, NotImplementedError):
+                except _DECODE_ERRORS:
                     if not fake_decode:
                         raise
                     img = _fake_decode(buf)

@@ -49,13 +49,30 @@ def brute_topk_cosine(
 ) -> DataFrame:
     """(query_id, vec_id, rank): exact cosine top-k of each query against
     every vector (self-matches excluded when ids collide). Ties break by
-    ascending vec_id."""
-    q = F.broadcast(queries.select(query_id, query_vec_col))
-    joined = vectors.select(vec_id, vec_col).crossJoin(q)
+    ascending vec_id.
+
+    Each side's norm is computed ONCE per row in a projection below the
+    join instead of once per (query, vector) pair — the aggregate/zip_with
+    fold expressions are interpreted per element, so this cuts the
+    per-pair fold work from 3 array passes to 1 (the dot). cos is the
+    bit-identical expression dot / (norm_vec · norm_query)."""
+    q = F.broadcast(
+        queries.select(query_id, query_vec_col).withColumn(
+            "_qn", norm(F.col(query_vec_col))
+        )
+    )
+    joined = (
+        vectors.select(vec_id, vec_col)
+        .withColumn("_vn", norm(F.col(vec_col)))
+        .crossJoin(q)
+    )
     scored = joined.select(
         query_id,
         vec_id,
-        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos"),
+        (
+            dot(F.col(vec_col), F.col(query_vec_col))
+            / (F.col("_vn") * F.col("_qn"))
+        ).alias("cos"),
     ).filter(F.col(query_id) != F.col(vec_id))
     w = Window.partitionBy(query_id).orderBy(F.desc("cos"), vec_id)
     return (
@@ -73,14 +90,26 @@ def ivf_assign(
 ) -> DataFrame:
     """(vec_id, cell): nearest centroid by cosine (ties → lowest centroid
     id) — the coarse quantizer of an IVF index. centroids: (cell,
-    c_embedding), broadcast."""
-    joined = vectors.select(vec_id, vec_col).crossJoin(
-        F.broadcast(centroids.select("cell", "c_embedding"))
+    c_embedding), broadcast. Norms are computed once per row below the
+    join (see brute_topk_cosine); cos is bit-identical."""
+    joined = (
+        vectors.select(vec_id, vec_col)
+        .withColumn("_vn", norm(F.col(vec_col)))
+        .crossJoin(
+            F.broadcast(
+                centroids.select("cell", "c_embedding").withColumn(
+                    "_cn", norm(F.col("c_embedding"))
+                )
+            )
+        )
     )
     scored = joined.select(
         vec_id,
         "cell",
-        cosine(F.col(vec_col), F.col("c_embedding")).alias("cos"),
+        (
+            dot(F.col(vec_col), F.col("c_embedding"))
+            / (F.col("_vn") * F.col("_cn"))
+        ).alias("cos"),
     )
     w = Window.partitionBy(vec_id).orderBy(F.desc("cos"), "cell")
     return (
@@ -235,11 +264,21 @@ def ivf_topk_cosine(
         .filter(F.col("rn") <= n_probe)
         .select(query_id, "cell")
     )
-    qv = queries.select(query_id, query_vec_col).join(probes, query_id)
-    cand = binned.join(F.broadcast(qv), "cell")
+    qv = (
+        queries.select(query_id, query_vec_col)
+        .withColumn("_qn", norm(F.col(query_vec_col)))
+        .join(probes, query_id)
+    )
+    cand = (
+        binned.withColumn("_vn", norm(F.col(vec_col)))
+        .join(F.broadcast(qv), "cell")
+    )
     scored = cand.select(
         query_id, vec_id,
-        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos"),
+        (
+            dot(F.col(vec_col), F.col(query_vec_col))
+            / (F.col("_vn") * F.col("_qn"))
+        ).alias("cos"),
     ).filter(F.col(query_id) != F.col(vec_id))
     w = Window.partitionBy(query_id).orderBy(F.desc("cos"), vec_id)
     return (

@@ -97,11 +97,25 @@ def radius_join(
     a_key < b_key only.
 
     Shuffle cost: one shuffle per side on the cell id; 9× replication of
-    the left side only. Skewed cells are split by AQE skew-join handling.
+    the left side only (halved to 5× on the dedup'd self-join — see below).
+    Skewed cells are split by AQE skew-join handling.
     """
     inv = 1.0 / radius
+    # Dedup'd SELF-join (left is right): the unordered pair {p, q} only has
+    # to be discovered once, so the left side is replicated to the closed
+    # HALF-neighborhood {(0,0),(0,1),(1,-1),(1,0),(1,1)} instead of all 9
+    # cells — for every non-zero cell offset d exactly one of d/-d is in
+    # the set, so each cross-cell pair joins exactly once (in one order,
+    # normalized with least/greatest) and same-cell pairs keep the a < b
+    # filter. 5/9 of the replicated shuffle bytes and join probes for the
+    # identical output (guide §2.3: shuffle fewer bytes).
+    half = dedup_pairs and left is right
+    if half:
+        off_list = [(0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
+    else:
+        off_list = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
     offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-                     for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+                     for dx, dy in off_list])
 
     lf = (
         left.select(
@@ -116,6 +130,7 @@ def radius_join(
             "a_key", "ax", "ay",
             (F.col("cx0") + F.col("o.dx")).alias("cx"),
             (F.col("cy0") + F.col("o.dy")).alias("cy"),
+            ((F.col("o.dx") == 0) & (F.col("o.dy") == 0)).alias("_home"),
         )
     )
     rt = right.select(
@@ -125,14 +140,18 @@ def radius_join(
         F.floor(F.col("x").cast("double") * inv).cast("long").alias("cx"),
         F.floor(F.col("y").cast("double") * inv).cast("long").alias("cy"),
     )
-    out = (
-        lf.join(rt, ["cx", "cy"])
-        .filter(
-            dist2(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"))
-            < F.lit(radius * radius)
-        )
-        .select("a_key", "b_key")
+    out = lf.join(rt, ["cx", "cy"]).filter(
+        dist2(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"))
+        < F.lit(radius * radius)
     )
+    if half:
+        return out.filter(
+            ~F.col("_home") | (F.col("a_key") < F.col("b_key"))
+        ).select(
+            F.least("a_key", "b_key").alias("a_key"),
+            F.greatest("a_key", "b_key").alias("b_key"),
+        )
+    out = out.select("a_key", "b_key")
     if dedup_pairs:
         out = out.filter(F.col("a_key") < F.col("b_key"))
     return out

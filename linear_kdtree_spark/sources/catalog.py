@@ -64,6 +64,21 @@ class TableCatalog:
         if prev is not None and mode == "ignore":
             return prev
         if self.use_iceberg:  # pragma: no cover - jars absent in sandbox
+            # existence must be probed in the CATALOG, not the parquet
+            # manifest the Iceberg branch never writes — otherwise
+            # errorifexists/ignore silently createOrReplace an existing
+            # table (ADVICE r5 medium, data-loss risk)
+            exists = self.spark.catalog.tableExists(
+                f"{self.catalog_name}.{name}"
+            )
+            if exists and mode == "errorifexists":
+                raise ValueError(
+                    f"table {name} already exists in catalog "
+                    f"{self.catalog_name}"
+                )
+            if exists and mode == "ignore":
+                return {"table": name, "format": "iceberg", "mode": mode,
+                        "skipped": True}
             w = df.writeTo(f"{self.catalog_name}.{name}")
             if mode == "append":
                 w.append()

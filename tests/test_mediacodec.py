@@ -343,3 +343,115 @@ def test_wav_odd_length_data_chunk_is_padded():
     assert riff_size == len(buf) - 8  # pad counted in the RIFF size
     samples, rate = decode_wav(buf)
     assert rate == 8000 and samples.ravel().tolist() == [1, 2, 3]
+
+
+def _hand_filter_png(img: np.ndarray, ftype_of_row) -> bytes:
+    """Forward-filter an image per-row (PNG spec §9) and wrap it in a
+    stored-deflate PNG — shared scaffold for the filter/wavefront tests."""
+    import struct
+
+    from linear_kdtree_spark.functions.mediacodec import (
+        _crc32,
+        _paeth,
+        _zlib_compress_stored,
+    )
+
+    h, w, ch = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        ftype = ftype_of_row(r)
+        cur = flat[r]
+        filt = np.zeros(stride, dtype=np.int64)
+        for i in range(stride):
+            a = int(cur[i - ch]) if i >= ch else 0
+            b = int(prev[i])
+            c = int(prev[i - ch]) if i >= ch else 0
+            x = int(cur[i])
+            if ftype == 0:
+                filt[i] = x
+            elif ftype == 1:
+                filt[i] = (x - a) % 256
+            elif ftype == 2:
+                filt[i] = (x - b) % 256
+            elif ftype == 3:
+                filt[i] = (x - (a + b) // 2) % 256
+            else:
+                filt[i] = (x - _paeth(a, b, c)) % 256
+        raw.append(ftype)
+        raw += filt.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(ctype, data):
+        return (len(data).to_bytes(4, "big") + ctype + data
+                + _crc32(ctype + data).to_bytes(4, "big"))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if ch == 3 else 0, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _zlib_compress_stored(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_unfilter_wavefront_long_runs_match_scalar():
+    """Runs >= _WAVEFRONT_MIN_ROWS take the anti-diagonal wavefront
+    (r6 optimization); pin it byte-identical to the scalar spec
+    recurrence on all-Paeth, all-Average and mixed-run images."""
+    from linear_kdtree_spark.functions import mediacodec as mc
+
+    rng = np.random.default_rng(1234)
+    for ftype_of_row, h in (
+        (lambda r: 4, 48),                     # all Paeth, one long run
+        (lambda r: 3, 48),                     # all Average
+        (lambda r: 3 if r < 20 else 4, 40),    # two runs above threshold
+        (lambda r: (r // 8) % 2 + 3, 32),      # runs straddling threshold
+    ):
+        img = rng.integers(0, 256, (h, 9, 3), dtype=np.int64)
+        buf = _hand_filter_png(img, ftype_of_row)
+        got = mc.decode_png(buf)
+        assert (got == img).all()
+        # differential: force the scalar path on the same image
+        orig = mc._WAVEFRONT_MIN_ROWS
+        mc._WAVEFRONT_MIN_ROWS = 10**9
+        try:
+            scalar = mc.decode_png(buf)
+        finally:
+            mc._WAVEFRONT_MIN_ROWS = orig
+        assert (got == scalar).all()
+
+
+def test_inflate_batched_lz77_overlap_copies():
+    """Self-overlapping matches (dist < length) exercise the batched
+    pattern-tile copy; differential vs stdlib zlib on highly repetitive
+    inputs at every compression level."""
+    import zlib
+
+    from linear_kdtree_spark.functions.mediacodec import inflate
+
+    rng = np.random.default_rng(7)
+    payloads = [
+        b"ab" * 5000,                      # dist 2 overlap copies
+        b"x" * 70000,                      # dist 1, max-length runs
+        bytes(rng.integers(0, 4, 30000, dtype=np.uint8)),  # small alphabet
+    ]
+    for data in payloads:
+        for level in (1, 6, 9):
+            assert inflate(zlib.compress(data, level)[2:-4]) == data
+
+
+def test_truncated_headers_fall_back_to_stand_in():
+    """A payload whose header dies inside struct.unpack / buffer indexing
+    (truncated BMP/PNG/WAV) must hit the deterministic stand-in under
+    fake=True instead of killing the job with a raw struct.error
+    (ADVICE r5 medium)."""
+    from linear_kdtree_spark.operators.multimodal import decode_image
+
+    for buf in (
+        b"BM" + b"\x00" * 6,                    # truncated BMP header
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 3,     # truncated PNG chunk
+        b"\xff\xd8\x00",                        # truncated JPEG
+        b"P6 2 2 255",                          # truncated PPM pixel data
+    ):
+        img = decode_image(buf, fake=True)
+        assert img.shape == (8, 8, 3)
