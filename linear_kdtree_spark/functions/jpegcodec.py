@@ -34,9 +34,14 @@ belongs to the driver-mandated multimodal pipeline surface.
 
 from __future__ import annotations
 
+import re
 import struct
 
 import numpy as np
+
+# first real marker in entropy-coded data: 0xFF followed by anything but
+# the 0x00 stuffing byte (restart markers included — handled by the scan)
+_MARKER_RE = re.compile(rb"\xff[^\x00]")
 
 # ---------------------------------------------------------------------------
 # shared constants
@@ -115,8 +120,16 @@ def idct2_int(blocks: np.ndarray) -> np.ndarray:
 
 class _HuffTable:
     """Canonical Huffman table from the DHT (BITS, HUFFVAL) form —
-    decode via the T.81 §F.2.2.3 mincode/maxcode/valptr walk, encode via
-    a symbol -> (code, length) dict built from the same code assignment."""
+    decode via a flat (symbol, length) lookup over the next ``FAST_BITS``
+    stream bits (codes are MSB-first, so a code of length L fills the
+    2^(FAST_BITS-L) consecutive slots under its left-aligned prefix);
+    longer codes fall back to the T.81 §F.2.2.3 mincode/maxcode/valptr
+    walk. Encode via a symbol -> (code, length) dict built from the same
+    code assignment. The table lookup replaces ~2 python method calls
+    PER BIT with ~3 per symbol (r6 — the measured JPEG-decode hot
+    spot, same shape as the DEFLATE fix in mediacodec)."""
+
+    FAST_BITS = 10
 
     def __init__(self, bits: list[int], huffval: list[int]):
         if len(bits) != 16:
@@ -131,12 +144,14 @@ class _HuffTable:
         code = 0
         k = 0
         self.enc: dict[int, tuple[int, int]] = {}
+        codes: list[tuple[int, int, int]] = []  # (sym, length, code)
         for length in range(1, 17):
             n = bits[length - 1]
             self.valptr[length] = k
             self.mincode[length] = code
             for _ in range(n):
                 self.enc[huffval[k]] = (code, length)
+                codes.append((huffval[k], length, code))
                 code += 1
                 k += 1
             self.maxcode[length] = code - 1  # -1 when n == 0 keeps walk going
@@ -145,6 +160,16 @@ class _HuffTable:
             code <<= 1
         if k != len(huffval):
             raise ValueError("HUFFVAL length disagrees with BITS")
+        L = self.fast_bits = self.FAST_BITS
+        fast = [(-1, 0)] * (1 << L)
+        for sym, ln, c in codes:
+            if ln > L:
+                continue
+            base = c << (L - ln)
+            entry = (sym, ln)
+            for i in range(base, base + (1 << (L - ln))):
+                fast[i] = entry
+        self.fast = fast
 
 
 def _std_encoder_tables() -> tuple[_HuffTable, _HuffTable]:
@@ -165,101 +190,6 @@ def _std_encoder_tables() -> tuple[_HuffTable, _HuffTable]:
 # ---------------------------------------------------------------------------
 # entropy-coded segment bit I/O
 # ---------------------------------------------------------------------------
-
-class _EntropyReader:
-    """Bit reader over the entropy-coded segment: un-stuffs 0xFF00,
-    stops at any other marker (leaves ``self.marker`` set), and resyncs
-    across RSTn for restart intervals."""
-
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.bitbuf = 0
-        self.nbits = 0
-        self.marker: int | None = None
-
-    def _fill(self) -> None:
-        d, p = self.data, self.pos
-        if p >= len(d):
-            raise ValueError("truncated entropy segment")
-        b = d[p]
-        p += 1
-        if b == 0xFF:
-            if p >= len(d):
-                raise ValueError("truncated after 0xFF")
-            nxt = d[p]
-            if nxt == 0x00:
-                p += 1
-            else:
-                # a real marker: record it and feed zero bits (per
-                # §F.2.2.5 the decoder pads with zeros at segment end)
-                self.marker = nxt
-                self.bitbuf = (self.bitbuf << 8) & 0xFFFFFFFF
-                self.nbits += 8
-                return
-        self.pos = p
-        self.bitbuf = ((self.bitbuf << 8) | b) & 0xFFFFFFFF
-        self.nbits += 8
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.bitbuf >> self.nbits) & 1
-
-    def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-    def decode_symbol(self, tbl: _HuffTable) -> int:
-        code = self.read_bit()
-        length = 1
-        while True:
-            if tbl.maxcode[length] >= 0 and code <= tbl.maxcode[length]:
-                return tbl.huffval[tbl.valptr[length] + code - tbl.mincode[length]]
-            if length >= 16:
-                raise ValueError("invalid Huffman code (>16 bits)")
-            code = (code << 1) | self.read_bit()
-            length += 1
-
-    def sync_restart(self, expected: int) -> None:
-        """Byte-align and consume the next RSTn marker (§F.2.2.5)."""
-        self.bitbuf = 0
-        self.nbits = 0
-        if self.marker is None:
-            d, p = self.data, self.pos
-            while p + 1 < len(d):
-                if d[p] == 0xFF and d[p + 1] != 0x00:
-                    self.marker = d[p + 1]
-                    self.pos = p + 2
-                    break
-                p += 1
-            else:
-                raise ValueError("expected restart marker, hit end of data")
-        else:
-            self.pos += 0  # marker already seen during _fill
-            # marker byte itself was not consumed from data in _fill path;
-            # consume it now by scanning forward
-            d, p = self.data, self.pos
-            while p + 1 < len(d) and not (d[p] == 0xFF and d[p + 1] != 0x00):
-                p += 1
-            self.pos = p + 2
-        m = self.marker
-        self.marker = None
-        if m is None or not (0xD0 <= m <= 0xD7):
-            raise ValueError(f"expected RSTn, found marker {m:#x}" if m else "no marker")
-        if (m - 0xD0) != (expected & 7):
-            raise ValueError("restart marker out of sequence")
-
-
-def _extend(v: int, n: int) -> int:
-    """§F.2.2.1 EXTEND: map an n-bit magnitude to its signed value."""
-    if n == 0:
-        return 0
-    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
-
 
 class _BitWriter:
     """Entropy-segment writer with 0xFF byte stuffing."""
@@ -437,49 +367,138 @@ def _decode_scan(d: bytes, pos: int, order: list[_Component],
         c.blocks = np.zeros((c.bh * c.bw, 8, 8), dtype=np.int64)
         c.pred = 0
 
-    rdr = _EntropyReader(d, pos)
+    # Segment-based inline entropy decode (r6): the entropy-coded data is
+    # split at real markers (regex, C-speed), each segment is un-stuffed
+    # (bytes.replace FF00→FF, C-speed) ONCE, and the symbol loop runs on
+    # clean bytes with the bit buffer in LOCALS — no per-bit method calls
+    # and no per-byte FF tests (the previous _EntropyReader class read
+    # bit-at-a-time at ~2 python calls per BIT; it is deleted, this loop
+    # is its exact replacement). Semantics preserved: zero bits are fed past a
+    # marker (§F.2.2.5) while running past a hard end of data raises the
+    # same truncation ValueError, and RSTn sync checks are unchanged.
+    coef = {id(c): np.zeros((c.bh * c.bw, 64), dtype=np.int64) for c in comps}
+
+    def next_segment(start: int) -> tuple[bytes, int, int | None]:
+        m = _MARKER_RE.search(d, start)
+        if m is not None:
+            return d[start:m.start()].replace(b"\xff\x00", b"\xff"), \
+                m.start(), d[m.start() + 1]
+        return d[start:].replace(b"\xff\x00", b"\xff"), len(d), None
+
+    seg, seg_end, marker = next_segment(pos)
+    seg_len = len(seg)
+    sp = 0
+    bitbuf = 0
+    nbits = 0
     rst_count = 0
     mcus_done = 0
     total = mcux * mcuy
+    plan = [
+        (c, htabs[(0, c.td)], htabs[(1, c.ta)], c.v * c.h) for c in order
+    ]
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcus_done and mcus_done % restart_interval == 0:
-                rdr.sync_restart(rst_count)
+                if marker is None:
+                    raise ValueError("expected restart marker, hit end of data")
+                if not (0xD0 <= marker <= 0xD7):
+                    raise ValueError(f"expected RSTn, found marker {marker:#x}")
+                if (marker - 0xD0) != (rst_count & 7):
+                    raise ValueError("restart marker out of sequence")
+                seg, seg_end, marker = next_segment(seg_end + 2)
+                seg_len = len(seg)
+                sp = 0
+                bitbuf = 0
+                nbits = 0
                 rst_count += 1
                 for c in comps:
                     c.pred = 0
-            for c in order:
-                dc_t = htabs[(0, c.td)]
-                ac_t = htabs[(1, c.ta)]
-                for by in range(c.v):
-                    for bx in range(c.h):
-                        blk = np.zeros(64, dtype=np.int64)
-                        s = rdr.decode_symbol(dc_t)
-                        diff = _extend(rdr.receive(s), s)
-                        c.pred += diff
-                        blk[0] = c.pred
-                        k = 1
-                        while k < 64:
-                            rs = rdr.decode_symbol(ac_t)
-                            r, s = rs >> 4, rs & 15
+            for c, dc_t, ac_t, nblk in plan:
+                dc_fast, ac_fast = dc_t.fast, ac_t.fast
+                ccoef = coef[id(c)]
+                for b_i in range(nblk):
+                    by, bx = divmod(b_i, c.h)
+                    blk = [0] * 64
+                    k = 0
+                    tbl = dc_t
+                    fast = dc_fast
+                    while True:
+                        # refill to ≥32 bits (max consume/step is 16+15)
+                        while nbits < 32:
+                            if sp < seg_len:
+                                bitbuf = (bitbuf << 8) | seg[sp]
+                                sp += 1
+                                nbits += 8
+                            elif marker is not None:
+                                bitbuf <<= 8  # §F.2.2.5 zero padding
+                                nbits += 8
+                            else:
+                                break  # hard end: consume checks below
+                        bitbuf &= (1 << nbits) - 1  # drop consumed bits
+                        sym, ln = fast[
+                            (bitbuf >> (nbits - 10)) & 1023
+                            if nbits >= 10
+                            else (bitbuf << (10 - nbits)) & 1023
+                        ]
+                        if sym < 0:  # code longer than the fast table
+                            if nbits >= 16:
+                                code16 = (bitbuf >> (nbits - 16)) & 0xFFFF
+                            else:
+                                code16 = (bitbuf << (16 - nbits)) & 0xFFFF
+                            for ln in range(11, 17):
+                                code = code16 >> (16 - ln)
+                                if (
+                                    tbl.maxcode[ln] >= 0
+                                    and code <= tbl.maxcode[ln]
+                                ):
+                                    sym = tbl.huffval[
+                                        tbl.valptr[ln] + code - tbl.mincode[ln]
+                                    ]
+                                    break
+                            else:
+                                raise ValueError("invalid Huffman code (>16 bits)")
+                        if ln > nbits:
+                            raise ValueError("truncated entropy segment")
+                        nbits -= ln
+                        if k == 0:  # DC magnitude category
+                            s = sym
+                        else:
+                            r, s = sym >> 4, sym & 15
                             if s == 0:
                                 if r == 15:
                                     k += 16
-                                    continue
-                                break  # EOB
+                                    if k < 64:
+                                        continue
+                                break  # EOB (or ZRL landed at the end)
                             k += r
                             if k > 63:
                                 raise ValueError("AC run past block end")
-                            blk[k] = _extend(rdr.receive(s), s)
-                            k += 1
-                        row = my * c.v + by
-                        col = mx * c.h + bx
-                        nat = np.zeros(64, dtype=np.int64)
-                        nat[_ZZ] = blk
-                        c.blocks[row * c.bw + col] = nat.reshape(8, 8)
+                        if s:
+                            if s > nbits:
+                                raise ValueError("truncated entropy segment")
+                            nbits -= s
+                            v = (bitbuf >> nbits) & ((1 << s) - 1)
+                            # §F.2.2.1 EXTEND inline
+                            blk[k] = (
+                                v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                            )
+                        if k == 0:
+                            c.pred += blk[0]
+                            blk[0] = c.pred
+                            tbl = ac_t
+                            fast = ac_fast
+                        k += 1
+                        if k >= 64:
+                            break
+                    bitbuf &= (1 << nbits) - 1
+                    ccoef[(my * c.v + by) * c.bw + (mx * c.h + bx)] = blk
             mcus_done += 1
+    for c in comps:
+        nat = np.zeros((c.bh * c.bw, 64), dtype=np.int64)
+        nat[:, _ZZ] = coef[id(c)]  # zigzag -> natural, all blocks at once
+        c.blocks = nat.reshape(-1, 8, 8)
     # skip to next marker after the scan
-    p = rdr.pos
+    p = seg_end
     while p + 1 < len(d) and not (d[p] == 0xFF and d[p + 1] not in (0x00,) and not (0xD0 <= d[p + 1] <= 0xD7)):
         p += 1
     assert mcus_done == total
