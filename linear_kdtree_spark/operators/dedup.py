@@ -83,6 +83,13 @@ def drop_oversized_buckets(
     return bucketed.join(F.broadcast(sizes.select(*keys)), keys, "left_anti")
 
 
+# physical-parallelism probe memo for widen_partitions: keyed on
+# (applicationId, analyzed-plan semantic hash, parallelism). The cached
+# value is a PARTITION COUNT, never data — a stale hit can only change
+# how many tasks run the projection, not any result row.
+_WIDEN_PROBE_CACHE: dict = {}
+
+
 def widen_partitions(df: DataFrame) -> DataFrame:
     """Round-robin repartition a NARROW input up to the session's default
     parallelism. Small corpus tables often arrive as a single parquet file
@@ -91,9 +98,28 @@ def widen_partitions(df: DataFrame) -> DataFrame:
     — measured r6). Inputs already at/above default parallelism pass
     through untouched, so corpus-scale tables never pay a gratuitous
     shuffle. Purely physical: every consumer is keyed/aggregated, so the
-    result is partitioning-independent."""
+    result is partitioning-independent.
+
+    The ``.rdd.getNumPartitions()`` probe costs ~45 ms of driver work per
+    call (measured r6: python RDD wrapper + physical planning), so it is
+    memoized per (app, analyzed-plan semantic hash, parallelism) — callers
+    like lsh_candidate_pairs re-invoke this on an identical plan every
+    call."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    try:
+        key = (
+            df.sparkSession.sparkContext.applicationId,
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            par,
+        )
+    except Exception:  # non-JVM plan surface — probe directly
+        key = None
+    n = _WIDEN_PROBE_CACHE.get(key) if key is not None else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key is not None:
+            _WIDEN_PROBE_CACHE[key] = n
+    if n < par:
         return df.repartition(par)
     return df
 

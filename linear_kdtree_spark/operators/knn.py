@@ -251,14 +251,6 @@ def _cover_intervals(
     return np.concatenate(out_q), np.concatenate(out_lo), np.concatenate(out_hi)
 
 
-# Query batches at or below this size are planned ON THE DRIVER (one
-# bounded take(), numpy cover, createDataFrame) instead of through the
-# mapInPandas planning stage: the cover rows are identical (the same
-# vectorized planner runs either way), but the plan loses one python
-# stage and the tree-array broadcast that fed it.
-KNN_PLAN_DRIVER_MAX = 1024
-
-
 def knn_batch(
     index: LktIndex,
     queries: DataFrame,
@@ -272,12 +264,18 @@ def knn_batch(
     planning (seed bound + circle cover) that :func:`knn` runs in a driver
     loop happens inside ``mapInPandas`` over the query DataFrame against
     broadcast flat tree arrays, and the interval→bucket replication is a
-    column expression — the driver touches at most a bounded
-    ``KNN_PLAN_DRIVER_MAX + 1``-row probe of the query side (small batches
-    are planned driver-side with the SAME vectorized planner, which saves
-    the python planning stage and its tree-array broadcast). Same output
-    as :func:`knn` (equality is tested); use it when the query side is
-    too big to collect (10^5+ rows).
+    column expression — the driver never touches a query row. Same output
+    as :func:`knn` (equality is tested); use it when the query side is too
+    big to collect (10^5+ rows).
+
+    (r6, measured and rejected: planning small batches on the driver — a
+    bounded ``take`` probe + the same numpy planner + ``createDataFrame``
+    — removed the python planning stage and its tree-array broadcast, but
+    an interleaved same-session A/B at 4.8 M/local[32] showed it SLOWER:
+    best 1.045 / med 1.137 s vs 0.948 / 1.044 s for this path. The
+    per-call probe job + local-relation conversion cost more than the one
+    40-row mapInPandas stage they replaced; an earlier session's opposite
+    reading came from a polluted window.)
 
     ``broadcast_cover=True`` (default) hints the cover side into a
     broadcast hash join so the POINT table is never shuffled — right up to
@@ -301,55 +299,29 @@ def knn_batch(
     out_schema = "query_id long, qx double, qy double, r2 double, lo long, hi long"
 
     pts = index.points.select("key", "x", "y", "sort_key")
-    probe = queries.select(query_id, qx_col, qy_col).take(
-        KNN_PLAN_DRIVER_MAX + 1
-    )
-    if len(probe) <= KNN_PLAN_DRIVER_MAX:
-        # small batch: identical cover, computed driver-side (the same
-        # vectorized numpy planner), skipping the python planning stage
-        # and its tree-array broadcast. (A scan-side coarse cover
-        # predicate was also tried here and measured a LOSS — see the
-        # rejection note in operators/interval_join.py.)
-        A = tree.to_query_arrays()
-        qxv = np.array([float(r[qx_col]) for r in probe])
-        qyv = np.array([float(r[qy_col]) for r in probe])
-        qid = np.array([int(r[query_id]) for r in probe], dtype=np.int64)
-        r2 = _seed_r2_bound(qxv, qyv, A, k_eff)
-        qi, lo, hi = _cover_intervals(qxv, qyv, r2, A)
-        cover = spark.createDataFrame(
-            [
-                (int(qid[q]), float(qxv[q]), float(qyv[q]), float(r2[q]),
-                 int(l), int(h))
-                for q, l, h in zip(qi, lo, hi)
-            ],
-            out_schema,
-        )
-    else:
-        bc = spark.sparkContext.broadcast(tree.to_query_arrays())
+    bc = spark.sparkContext.broadcast(tree.to_query_arrays())
 
-        def plan(batches):
-            A = bc.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                qxv = pdf[qx_col].to_numpy(dtype=np.float64)
-                qyv = pdf[qy_col].to_numpy(dtype=np.float64)
-                r2 = _seed_r2_bound(qxv, qyv, A, k_eff)
-                qi, lo, hi = _cover_intervals(qxv, qyv, r2, A)
-                yield pd.DataFrame(
-                    {
-                        "query_id": pdf[query_id].to_numpy()[qi],
-                        "qx": qxv[qi],
-                        "qy": qyv[qi],
-                        "r2": r2[qi],
-                        "lo": lo,
-                        "hi": hi,
-                    }
-                )
+    def plan(batches):
+        A = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qxv = pdf[qx_col].to_numpy(dtype=np.float64)
+            qyv = pdf[qy_col].to_numpy(dtype=np.float64)
+            r2 = _seed_r2_bound(qxv, qyv, A, k_eff)
+            qi, lo, hi = _cover_intervals(qxv, qyv, r2, A)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf[query_id].to_numpy()[qi],
+                    "qx": qxv[qi],
+                    "qy": qyv[qi],
+                    "r2": r2[qi],
+                    "lo": lo,
+                    "hi": hi,
+                }
+            )
 
-        cover = queries.select(query_id, qx_col, qy_col).mapInPandas(
-            plan, out_schema
-        )
+    cover = queries.select(query_id, qx_col, qy_col).mapInPandas(plan, out_schema)
     ivals = cover.withColumn(
         "bucket",
         F.explode(
