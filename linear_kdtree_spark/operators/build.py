@@ -107,6 +107,45 @@ class LktIndex:
     coord_type: str = "float"
 
 
+def _apply_level(spark, df: DataFrame, axis: str, splittable: list) -> DataFrame:
+    """One level's node transform: route each row of a splitting node to
+    its child heap id, leave every other row untouched. Factored out so
+    the stats scan can REBUILD the un-persisted transform chain from the
+    last cached level (see the chain-aware stats source in
+    :func:`lkt_build`)."""
+    if len(splittable) <= SPLIT_MAP_MAX:
+        # the distributed phase is the TOP of the tree: ≤ n/threshold
+        # active nodes per level, so the split table is tiny. A literal
+        # CASE-chain lookup keeps the level transform inside ONE whole-
+        # stage-codegen projection — no broadcast exchange, no join
+        # node, no per-level createDataFrame round-trip — which is
+        # precisely the per-level fixed cost that caps the high-
+        # parallelism leg (BENCH/SCALING.md r4: 5 sequential stats
+        # jobs × ~1 s fixed scale 1.4× vs the 0.988 substrate
+        # control). Lookup is a linear scan of ≤ SPLIT_MAP_MAX
+        # comparisons — cheaper per row than a hash-join probe at
+        # this size, and allocation-free (see _literal_lookup; NULL
+        # on missing key, same semantics as the left join).
+        joined = df.withColumn("sv", _literal_lookup(F.col("node"), splittable))
+    else:  # deep distributed builds (leaf_size-bounded, e.g. resume)
+        sdf = spark.createDataFrame(splittable, "node long, sv double")
+        joined = df.join(F.broadcast(sdf), "node", "left")
+    has = F.col("sv").isNotNull()
+    left = F.col(axis).cast("double") < F.col("sv")
+    right_bit = F.when(left, F.lit(0)).otherwise(F.lit(1))
+    # only the heap node id is carried through the loop; code / sk /
+    # path_len / sort_key are pure bit transforms of it, derived once
+    # at finalize (functions/morton.py — equality is unit-tested)
+    return joined.select(
+        "key",
+        "x",
+        "y",
+        F.when(has, F.col("node") * 2 + 1 + right_bit)
+        .otherwise(F.col("node"))
+        .alias("node"),
+    )
+
+
 def _split_stats(active: DataFrame, axis: str, strategy: str) -> DataFrame:
     """Per-node (split value, count, min/max on BOTH axes) for one level —
     the distributed replacement of the reference's systematic-sample split
@@ -266,13 +305,44 @@ def lkt_build(
     # is the one the distributed loop would have produced
     # (tests/test_differential.py pins fused ≡ level-sync).
     deferred: set[int] = set()
+    # the transform chain since the last persisted/checkpointed level:
+    # (depth, axis, splittable) triples applied on top of ``chain_base``.
+    # The stats scan REBUILDS this chain from the cache with a plain-
+    # attribute prefilter instead of filtering the chained ``pts``: the
+    # exact ``node >= level_lo`` filter on a ≥2-level CASE-projection
+    # chain is substituted through every projection by predicate
+    # pushdown (it pushes through the aggregate's grouping key too), and
+    # the multiplicatively nested condition falls out of codegen into
+    # interpreted evaluation — measured r6: a 2-chain stats scan at 20 M
+    # rows ran 68.5 s vs 0.41 s for the 1-chain control (16 KB filter
+    # condition in the plan), and the lc4@76.8 M build spent 187 s in
+    # ONE such level. The rebuilt source keeps every CASE level a
+    # separate whole-stage-codegen projection; the exact active filter
+    # moves driver-side onto the collected per-node group rows.
+    chain_base = pts
+    chain: list[tuple[int, str, list]] = []
+
+    def _stats_rows(cur_axis: str, level_lo: int) -> list:
+        if chain:
+            # rows frozen before the first un-persisted level can never
+            # be active now (heap ids only grow): plain-attribute
+            # prefilter against the CACHED node column, then the chain's
+            # projections, then the exact group filter driver-side
+            pre_lo = (1 << chain[0][0]) - 1
+            src = chain_base.filter(F.col("node") >= pre_lo)
+            for _, ax2, sp2 in chain:
+                src = _apply_level(spark, src, ax2, sp2)
+            rows = _split_stats(src, cur_axis, strategy).collect()
+            return [r for r in rows if r["node"] >= level_lo]
+        return _split_stats(
+            pts.filter(F.col("node") >= level_lo), cur_axis, strategy
+        ).collect()
 
     for depth in range(start_depth, max_depth):
         t_level = time.time()
         axis = "x" if depth % 2 == 0 else "y"
         level_lo = (1 << depth) - 1
-        active = pts.filter(F.col("node") >= level_lo)
-        stats = _split_stats(active, axis, strategy).collect()
+        stats = _stats_rows(axis, level_lo)
         t_stats = time.time() - t_level
         for r in stats:
             node_counts[int(r["node"])] = int(r["cnt"])
@@ -322,39 +392,7 @@ def lkt_build(
         if not splittable:
             break
 
-        if len(splittable) <= SPLIT_MAP_MAX:
-            # the distributed phase is the TOP of the tree: ≤ n/threshold
-            # active nodes per level, so the split table is tiny. A literal
-            # CASE-chain lookup keeps the level transform inside ONE whole-
-            # stage-codegen projection — no broadcast exchange, no join
-            # node, no per-level createDataFrame round-trip — which is
-            # precisely the per-level fixed cost that caps the high-
-            # parallelism leg (BENCH/SCALING.md r4: 5 sequential stats
-            # jobs × ~1 s fixed scale 1.4× vs the 0.988 substrate
-            # control). Lookup is a linear scan of ≤ SPLIT_MAP_MAX
-            # comparisons — cheaper per row than a hash-join probe at
-            # this size, and allocation-free (see _literal_lookup; NULL
-            # on missing key, same semantics as the left join).
-            joined = pts.withColumn(
-                "sv", _literal_lookup(F.col("node"), splittable)
-            )
-        else:  # deep distributed builds (leaf_size-bounded, e.g. resume)
-            sdf = spark.createDataFrame(splittable, "node long, sv double")
-            joined = pts.join(F.broadcast(sdf), "node", "left")
-        has = F.col("sv").isNotNull()
-        left = F.col(axis).cast("double") < F.col("sv")
-        right_bit = F.when(left, F.lit(0)).otherwise(F.lit(1))
-        # only the heap node id is carried through the loop; code / sk /
-        # path_len / sort_key are pure bit transforms of it, derived once
-        # at finalize (functions/morton.py — equality is unit-tested)
-        new_pts = joined.select(
-            "key",
-            "x",
-            "y",
-            F.when(has, F.col("node") * 2 + 1 + right_bit)
-            .otherwise(F.col("node"))
-            .alias("node"),
-        )
+        new_pts = _apply_level(spark, pts, axis, splittable)
         if checkpoint_dir and (depth + 1) % checkpoint_every == 0:
             prev_cached = last_cached
             pts = _checkpoint_level(
@@ -362,6 +400,7 @@ def lkt_build(
                 node_counts, node_bounds,
             )
             last_cached = pts
+            chain_base, chain = pts, []
             if prev_cached is not None:
                 prev_cached.unpersist()
         elif (depth + 1) % persist_every == 0:
@@ -376,10 +415,12 @@ def lkt_build(
             prev_cached = last_cached
             pts = new_pts.persist()
             last_cached = pts
+            chain_base, chain = pts, []
             if prev_cached is not None:
                 prev_cached.unpersist()
         else:
             pts = new_pts
+            chain.append((depth, axis, splittable))
 
     # child counts for distributed split nodes at the deepest level (loop
     # may have ended at max_depth before their children were aggregated);
@@ -395,9 +436,24 @@ def lkt_build(
     ]
     if missing:
         lo = min((1 << (node_depth_py(m) + 1)) - 1 for m in missing)
-        extra = (
-            pts.filter(F.col("node") >= lo).groupBy("node").count().collect()
-        )
+        if chain:
+            # same chain-aware source as the stats scan: the exact filter
+            # on a chained CASE projection would be pushdown-substituted
+            # into an interpreted monster (see _stats_rows)
+            src = chain_base.filter(
+                F.col("node") >= (1 << chain[0][0]) - 1
+            )
+            for _, ax2, sp2 in chain:
+                src = _apply_level(spark, src, ax2, sp2)
+            extra = [
+                r for r in src.groupBy("node").count().collect()
+                if r["node"] >= lo
+            ]
+        else:
+            extra = (
+                pts.filter(F.col("node") >= lo)
+                .groupBy("node").count().collect()
+            )
         for r in extra:
             node_counts[int(r["node"])] = int(r["count"])
 
