@@ -137,3 +137,30 @@ def test_interval_join_matches_theta_join(spark):
                         (3, (1 << md) - 1000, 1 << md)]:
         expect = sum(1 for s in sks if lo <= s < hi)
         assert got.get(iid, 0) == expect, iid
+
+
+def test_pip_convex_plan_single_join(spark):
+    """Convex PIP refine rides the pruning equi-join itself (r6): the
+    edge arrays travel on the interval rows, so the executed plan has
+    exactly ONE join — no second broadcast join on poly_id after the
+    interval pruning, and no Python anywhere."""
+    from linear_kdtree_spark.operators.pip import Polygon, point_in_polygons
+
+    pts = _skewed_points(spark, 4000)
+    idx = lkt_build(pts, max_depth=10, strategy="mean", leaf_size=32)
+    polys = [
+        Polygon(0, [(0.0, 10.0), (20.0, 10.0), (20.0, 30.0), (0.0, 30.0)]),
+        Polygon(1, [(-60.0, -40.0), (-20.0, -40.0), (-40.0, 0.0)]),
+    ]
+    out = point_in_polygons(idx, polys, exact="convex")
+    out.count()  # let AQE finalize the executed plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan.split(
+        "InMemoryRelation"
+    )[0]
+    n_joins = sum(plan.count(j) for j in
+                  ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+                   "BroadcastNestedLoopJoin", "CartesianProduct"))
+    # the index build below the InMemoryRelation boundary is not re-planned
+    # here; the query side above it must contain exactly the bucket join
+    assert n_joins == 1, plan
