@@ -253,7 +253,101 @@ def _make_crc_table():
 _CRC_TABLE = _make_crc_table()
 
 
+_CRC_TABLE_NP = np.array(_CRC_TABLE, dtype=np.uint32)
+
+# threshold below which the scalar table loop beats the chunk-parallel
+# numpy path's fixed costs (array setup + 32-column combine rounds)
+_CRC_VECTOR_MIN = 1024
+
+
+def _gf2_matrix_times(mat: list[int], vec: int) -> int:
+    s = 0
+    i = 0
+    while vec:
+        if vec & 1:
+            s ^= mat[i]
+        vec >>= 1
+        i += 1
+    return s
+
+
+def _gf2_matrix_square(mat: list[int]) -> list[int]:
+    return [_gf2_matrix_times(mat, mat[i]) for i in range(32)]
+
+
+def _crc_shift_matrix(nbytes: int) -> list[int]:
+    """32×32 GF(2) matrix (as 32 column words) multiplying a reflected
+    CRC-32 register by x^(8·nbytes) mod the CRC polynomial — the zlib
+    crc32_combine construction (public domain algorithm)."""
+    # operator for one zero BIT: reflected poly taps
+    odd = [0xEDB88320] + [1 << i for i in range(31)]
+    even = _gf2_matrix_square(odd)   # 2 bits
+    mat = _gf2_matrix_square(even)   # 4 bits
+    # mat now shifts by 4 zero bits; square up to 8·nbytes bits
+    nbits = 8 * nbytes
+    # decompose nbits = 4 · 2^k · ... : walk powers of two from 4 bits up
+    shift = mat
+    bits = 4
+    result = None
+    while nbits:
+        if nbits & bits:
+            result = (
+                shift if result is None else
+                [_gf2_matrix_times(shift, c) for c in result]
+            )
+            nbits ^= bits
+        shift = _gf2_matrix_square(shift)
+        bits <<= 1
+    return result if result is not None else [1 << i for i in range(32)]
+
+
+def _gf2_apply_vec(mat: list[int], states: np.ndarray) -> np.ndarray:
+    """Apply one GF(2) 32×32 matrix to every uint32 state in ``states``."""
+    out = np.zeros_like(states)
+    for j in range(32):
+        out ^= np.where((states >> np.uint32(j)) & np.uint32(1),
+                        np.uint32(mat[j]), np.uint32(0))
+    return out
+
+
+def _crc32_vector(data: bytes, crc: int) -> int:
+    """Chunk-parallel CRC-32: K interleaved table recurrences advance one
+    byte of every chunk per numpy step (n/K python iterations instead of
+    n), then a log₂K tree of GF(2) shift-matrix combines folds the chunk
+    registers — crc(A‖B) register = M_len(B)·reg(A) ⊕ reg₀(B). Identical
+    output to the scalar table loop (pinned against binascii.crc32)."""
+    n = len(data)
+    k = 1 << max(0, min(14, (n // 64).bit_length() - 1))  # ≤ 16384 chunks
+    L = n // k
+    # (L, k) layout: step i reads one CONTIGUOUS row = byte i of every chunk
+    arr = np.ascontiguousarray(
+        np.frombuffer(data, np.uint8, k * L).reshape(k, L).T
+    ).astype(np.uint32)
+    states = np.zeros(k, dtype=np.uint32)
+    states[0] = crc ^ 0xFFFFFFFF
+    tab = _CRC_TABLE_NP
+    for i in range(L):
+        states = tab[(states ^ arr[i]) & np.uint32(0xFF)] ^ (
+            states >> np.uint32(8)
+        )
+    # fold pairs: left register shifted by the right half's length; the
+    # shift operator for the next (doubled) length is the SQUARE of the
+    # current one, so each round costs one 32-column GF(2) squaring
+    # instead of a from-scratch power ladder
+    mat = _crc_shift_matrix(L)
+    while len(states) > 1:
+        left, right = states[0::2], states[1::2]
+        states = _gf2_apply_vec(mat, left) ^ right
+        if len(states) > 1:
+            mat = _gf2_matrix_square(mat)
+    c = int(states[0]) ^ 0xFFFFFFFF
+    tail = data[k * L:]  # < k bytes; recursion re-vectorizes big tails
+    return _crc32(tail, c) if tail else c
+
+
 def _crc32(data: bytes, crc: int = 0) -> int:
+    if len(data) >= _CRC_VECTOR_MIN:
+        return _crc32_vector(data, crc)
     c = crc ^ 0xFFFFFFFF
     for b in data:
         c = _CRC_TABLE[(c ^ b) & 0xFF] ^ (c >> 8)

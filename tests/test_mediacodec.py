@@ -455,3 +455,25 @@ def test_truncated_headers_fall_back_to_stand_in():
     ):
         img = decode_image(buf, fake=True)
         assert img.shape == (8, 8, 3)
+
+
+def test_crc32_vectorized_matches_binascii():
+    """The chunk-parallel CRC-32 (numpy states + GF(2) combine tree) must
+    be bit-identical to the reference table loop — pinned against
+    binascii.crc32 across the vector/scalar threshold, power-of-two
+    boundaries, tail lengths, and running-init chaining."""
+    import binascii
+
+    from linear_kdtree_spark.functions.mediacodec import (
+        _CRC_VECTOR_MIN, _crc32,
+    )
+
+    rng = np.random.default_rng(11)
+    for n in (0, 1, 63, 64, _CRC_VECTOR_MIN - 1, _CRC_VECTOR_MIN,
+              _CRC_VECTOR_MIN + 1, 4096, 5000, 65536, 100001, 1 << 20,
+              (1 << 20) + 17):
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        assert _crc32(data) == binascii.crc32(data), n
+    a = rng.integers(0, 256, 70000, dtype=np.uint8).tobytes()
+    b = rng.integers(0, 256, 123456, dtype=np.uint8).tobytes()
+    assert _crc32(b, _crc32(a)) == binascii.crc32(a + b)
